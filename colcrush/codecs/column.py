@@ -1,0 +1,478 @@
+"""Column-chunk codec layer: pa.Array <-> self-describing encoded blob.
+
+This is the engine's replacement for the per-chunk encoding layer that
+parquet4s delegates to parquet-mr (dictionary with size-based fallback,
+RLE/bit-packed hybrid, plain — knobs at
+/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/ParquetWriter.scala:79-100).
+Here the codec choice is explicit and *auto-selected per chunk* via
+cheap sampled size estimation (SURVEY.md §7 step 3).
+
+Container layout (little-endian):
+  magic 'CC1' + version byte
+  u32 schema_len | arrow-serialized single-field schema
+  u8  codec_id
+  i64 n_rows | i64 null_count
+  [validity bitmap, ceil(n/8) bytes, LSB-first]   (iff 0 < null_count < n, codec != IPC)
+  payload (codec-specific)
+
+Codecs:
+  PLAIN_FIXED raw buffer of non-null fixed-width values
+  INTS        best-of plain/FOR+bitpack/delta/RLE over int64 views
+  PLAIN_STR   int-encoded lengths + concatenated bytes
+  DICT        sorted dictionary (recursively encoded) + int-encoded codes
+  FSST        symbol-table compressed concatenated bytes + lengths
+  IPC         arrow IPC fallback for exotic types (decimal, nested)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import fsst as fsst_mod
+from .intcodec import decode_ints, encode_ints_best
+
+MAGIC = b"CC1\x01"
+
+PLAIN_FIXED = 0
+INTS = 1
+PLAIN_STR = 2
+DICT = 3
+FSST = 4
+IPC = 5
+
+CODEC_NAMES = {
+    PLAIN_FIXED: "plain",
+    INTS: "ints",
+    PLAIN_STR: "plain_str",
+    DICT: "dict",
+    FSST: "fsst",
+    IPC: "ipc",
+}
+
+# ------------------------------------------------------------------ helpers
+
+
+def _is_intlike(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_integer(t)
+        and not pa.types.is_uint64(t)
+        or pa.types.is_date(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_time(t)
+        or pa.types.is_boolean(t)
+    )
+
+
+def _int_view(nn: pa.Array) -> np.ndarray:
+    """Non-null int-like array -> int64 numpy."""
+    t = nn.type
+    if pa.types.is_boolean(t):
+        return nn.to_numpy(zero_copy_only=False).astype(np.int64)
+    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_date64(t):
+        return nn.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return nn.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+    return nn.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _int_restore(values: np.ndarray, t: pa.DataType, mask: np.ndarray | None) -> pa.Array:
+    """int64 values (+ null mask over full length) -> typed array."""
+    if mask is not None:
+        full = np.zeros(len(mask), dtype=np.int64)
+        full[~mask] = values
+    else:
+        full = values
+    if pa.types.is_boolean(t):
+        return pa.array(full.astype(bool), mask=mask)
+    arr = pa.array(full, mask=mask)  # int64
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return arr.cast(pa.int32()).cast(t)
+    return arr.cast(t)
+
+
+def _string_parts(nn: pa.Array) -> tuple[np.ndarray, bytes]:
+    """Non-null string/binary array -> (lengths int64, concatenated bytes)."""
+    if len(nn) == 0:
+        return np.zeros(0, dtype=np.int64), b""
+    lb = nn.cast(pa.large_binary())
+    bufs = lb.buffers()
+    off = lb.offset
+    offsets = np.frombuffer(
+        bufs[1], dtype=np.int64, count=len(lb) + 1, offset=off * 8
+    )
+    data = bufs[2]
+    blob = data[offsets[0] : offsets[-1]].to_pybytes() if len(lb) else b""
+    lengths = np.diff(offsets)
+    return lengths, blob
+
+
+def _string_restore(
+    lengths: np.ndarray, blob: bytes, t: pa.DataType, mask: np.ndarray | None
+) -> pa.Array:
+    n = len(mask) if mask is not None else len(lengths)
+    full_lengths = np.zeros(n, dtype=np.int64)
+    if mask is not None:
+        full_lengths[~mask] = lengths
+    else:
+        full_lengths = lengths.astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(full_lengths, out=offsets[1:])
+    validity = None
+    if mask is not None and mask.any():
+        validity = pa.py_buffer(np.packbits(~mask, bitorder="little").tobytes())
+    arr = pa.Array.from_buffers(
+        pa.large_binary(),
+        n,
+        [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)],
+        null_count=int(mask.sum()) if mask is not None else 0,
+    )
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return arr.cast(pa.large_string()).cast(t)
+    return arr.cast(t)
+
+
+def _blk(b: bytes) -> bytes:
+    return struct.pack("<q", len(b)) + b
+
+
+def _unblk(data: bytes, off: int) -> tuple[bytes, int]:
+    (n,) = struct.unpack_from("<q", data, off)
+    off += 8
+    return data[off : off + n], off + n
+
+
+# ------------------------------------------------------------ codec bodies
+
+
+def _enc_plain_fixed(nn: pa.Array) -> bytes:
+    t = nn.type
+    if pa.types.is_float32(t):
+        v = nn.to_numpy(zero_copy_only=False).astype(np.float32)
+    elif pa.types.is_float64(t):
+        v = nn.to_numpy(zero_copy_only=False).astype(np.float64)
+    else:
+        raise TypeError(f"plain_fixed unsupported for {t}")
+    return v.tobytes()
+
+
+def _dec_plain_fixed(payload: bytes, t: pa.DataType, n_valid: int, mask) -> pa.Array:
+    dtype = np.float32 if pa.types.is_float32(t) else np.float64
+    values = np.frombuffer(payload, dtype=dtype, count=n_valid)
+    if mask is not None:
+        full = np.zeros(len(mask), dtype=dtype)
+        full[~mask] = values
+    else:
+        full = values
+    return pa.array(full, mask=mask)
+
+
+def _enc_fsst(lengths: np.ndarray, blob: bytes, profile: str) -> bytes:
+    sample_cap = (1 << 23) if profile == "max" else (1 << 20)
+    max_symbols = 240 if profile == "max" else 200
+    sample = blob if len(blob) <= sample_cap else blob[:sample_cap]
+    table = fsst_mod.train(blob, sample=sample, max_symbols=max_symbols)
+    comp = fsst_mod.compress(blob, table)
+    return (
+        fsst_mod.serialize_table(table)
+        + _blk(encode_ints_best(lengths))
+        + _blk(comp)
+    )
+
+
+def _dec_fsst(payload: bytes) -> tuple[np.ndarray, bytes]:
+    table, off = fsst_mod.deserialize_table(payload, 0)
+    lenb, off = _unblk(payload, off)
+    comp, off = _unblk(payload, off)
+    lengths = decode_ints(lenb)
+    return lengths, fsst_mod.decompress(comp, table)
+
+
+# ------------------------------------------------------------ public API
+
+
+def encode_array(
+    arr: pa.Array,
+    profile: str = "balanced",
+    force_codec: int | None = None,
+    _allow_dict: bool = True,
+) -> tuple[bytes, dict]:
+    """Encode a pa.Array; returns (blob, meta).
+
+    meta: codec, n_rows, n_nulls, raw_bytes, enc_bytes, dict_size,
+    min/max (python values or None).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    n = len(arr)
+    null_count = arr.null_count
+    field = pa.field("c", t)
+    schema_ser = pa.schema([field]).serialize().to_pybytes()
+
+    mask = None
+    if 0 < null_count:
+        mask = ~arr.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+    nn = arr.drop_null() if null_count else arr
+
+    meta: dict = {
+        "n_rows": n,
+        "n_nulls": null_count,
+        "dict_size": 0,
+    }
+
+    # stats
+    mn = mx = None
+    if n > null_count and (
+        _is_intlike(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+    ):
+        mm = pc.min_max(arr)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    meta["min"], meta["max"] = mn, mx
+
+    is_str = (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+    if force_codec == IPC or not (
+        is_str or _is_intlike(t) or pa.types.is_floating(t)
+    ):
+        # IPC keeps the original array (nulls inline)
+        codec_id, payload, extra = IPC, _enc_ipc(arr, t), {}
+    else:
+        codec_id, payload, extra = _choose(nn, t, profile, force_codec, _allow_dict)
+    meta.update(extra)
+    meta["codec"] = CODEC_NAMES[codec_id]
+
+    head = MAGIC + struct.pack("<I", len(schema_ser)) + schema_ser
+    head += struct.pack("<Bqq", codec_id, n, null_count)
+    if mask is not None and codec_id != IPC:
+        head += np.packbits(mask, bitorder="little").tobytes()
+    blob = head + payload
+    meta["enc_bytes"] = len(blob)
+    meta["raw_bytes"] = _raw_bytes(arr)
+    return blob, meta
+
+
+def _raw_bytes(arr: pa.Array) -> int:
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        nn = arr.drop_null() if arr.null_count else arr
+        if len(nn) == 0:
+            return 0
+        return int(pc.sum(pc.binary_length(nn.cast(pa.large_binary()))).as_py() or 0)
+    if pa.types.is_boolean(t):
+        return len(arr)
+    try:
+        return len(arr) * t.bit_width // 8
+    except (ValueError, AttributeError):
+        return arr.nbytes
+
+
+def _choose(
+    nn: pa.Array, t: pa.DataType, profile: str, force: int | None, allow_dict: bool
+) -> tuple[int, bytes, dict]:
+    extra: dict = {}
+    is_str = (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+    if force == IPC or not (is_str or _is_intlike(t) or pa.types.is_floating(t)):
+        return IPC, _enc_ipc(nn, t), extra
+
+    if is_str:
+        lengths, blob = _string_parts(nn)
+        if force is not None:
+            return _encode_str_forced(force, nn, lengths, blob, profile, extra)
+        candidates: list[tuple[int, int]] = []  # (est_size, codec)
+        len_enc = encode_ints_best(lengths)
+        plain_size = len(len_enc) + len(blob) + 16
+        candidates.append((plain_size, PLAIN_STR))
+        dict_est = _dict_estimate(nn) if allow_dict else None
+        if dict_est is not None:
+            candidates.append((dict_est, DICT))
+        fsst_est = None
+        if profile != "fast" and len(blob) >= 1024:
+            fsst_est = _fsst_estimate(lengths, blob)
+            if fsst_est is not None:
+                candidates.append((fsst_est, FSST))
+        candidates.sort()
+        codec = candidates[0][1]
+        if codec == PLAIN_STR:
+            return PLAIN_STR, _blk(len_enc) + _blk(blob), extra
+        if codec == DICT:
+            return DICT, *_enc_dict(nn, profile, extra)
+        payload = _enc_fsst(lengths, blob, profile)
+        if len(payload) > plain_size:  # estimate was wrong — fall back
+            return PLAIN_STR, _blk(len_enc) + _blk(blob), extra
+        return FSST, payload, extra
+
+    if _is_intlike(t):
+        v = _int_view(nn)
+        ints_payload = encode_ints_best(v)
+        if force == INTS or not allow_dict:
+            return INTS, ints_payload, extra
+        dict_est = _dict_estimate(nn)
+        if force == DICT or (dict_est is not None and dict_est < len(ints_payload)):
+            dict_payload, dextra = _enc_dict(nn, profile, extra)
+            if len(dict_payload) < len(ints_payload) or force == DICT:
+                extra.update(dextra)
+                return DICT, dict_payload, extra
+        return INTS, ints_payload, extra
+
+    # floats
+    plain = _enc_plain_fixed(nn)
+    if force == PLAIN_FIXED or not allow_dict:
+        return PLAIN_FIXED, plain, extra
+    dict_est = _dict_estimate(nn)
+    if dict_est is not None and dict_est < len(plain):
+        dict_payload, dextra = _enc_dict(nn, profile, extra)
+        if len(dict_payload) < len(plain):
+            extra.update(dextra)
+            return DICT, dict_payload, extra
+    return PLAIN_FIXED, plain, extra
+
+
+def _encode_str_forced(force, nn, lengths, blob, profile, extra):
+    if force == PLAIN_STR:
+        return PLAIN_STR, _blk(encode_ints_best(lengths)) + _blk(blob), extra
+    if force == DICT:
+        payload, dextra = _enc_dict(nn, profile, extra)
+        extra.update(dextra)
+        return DICT, payload, extra
+    if force == FSST:
+        return FSST, _enc_fsst(lengths, blob, profile), extra
+    raise ValueError(f"bad forced codec {force}")
+
+
+def _dict_estimate(nn: pa.Array) -> int | None:
+    """Cheap upper-ish estimate of DICT encoding size, or None if hopeless."""
+    n = len(nn)
+    if n == 0:
+        return None
+    try:
+        denc = pc.dictionary_encode(nn)
+    except pa.ArrowNotImplementedError:
+        return None
+    dvals = denc.dictionary if isinstance(denc, pa.DictionaryArray) else denc.combine_chunks().dictionary
+    n_unique = len(dvals)
+    if n_unique > max(16, n // 2):
+        return None  # dictionary would not pay off
+    dict_bytes = dvals.nbytes
+    idx_bits = max(1, int(np.ceil(np.log2(max(2, n_unique)))))
+    return int(dict_bytes + n * idx_bits // 8 + 64)
+
+
+def _fsst_estimate(lengths: np.ndarray, blob: bytes) -> int | None:
+    cap = 1 << 18
+    sample = blob if len(blob) <= cap else blob[:cap]
+    table = fsst_mod.train(blob, sample=sample, max_symbols=128)
+    if not table:
+        return None
+    comp = fsst_mod.compress(sample, table)
+    ratio = len(comp) / max(1, len(sample))
+    return int(ratio * len(blob)) + 3 * len(table) + len(lengths) * 1 + 64
+
+
+def _enc_dict(nn: pa.Array, profile: str, extra: dict) -> tuple[bytes, dict]:
+    denc = pc.dictionary_encode(nn)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    dvals = denc.dictionary
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # sorted dictionary pages (stable, deterministic): remap codes by rank
+    order = pc.sort_indices(dvals).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(dvals), dtype=np.int64)
+    rank[order] = np.arange(len(dvals), dtype=np.int64)
+    sorted_vals = dvals.take(pa.array(order))
+    new_idx = rank[idx]
+    # dictionary values encoded recursively (no dict-of-dict)
+    dict_blob, _ = encode_array(sorted_vals, profile="fast", _allow_dict=False)
+    idx_blob = encode_ints_best(new_idx)
+    extra = dict(extra)
+    extra["dict_size"] = len(dvals)
+    return _blk(dict_blob) + _blk(idx_blob), extra
+
+
+def _enc_ipc(nn_or_arr: pa.Array, t: pa.DataType) -> bytes:
+    # IPC path keeps nulls inline (bitmap not stored separately)
+    sink = pa.BufferOutputStream()
+    batch = pa.record_batch([nn_or_arr], names=["c"])
+    with pa.ipc.new_stream(sink, batch.schema) as w:
+        w.write_batch(batch)
+    return sink.getvalue().to_pybytes()
+
+
+def decode_array(blob: bytes) -> pa.Array:
+    if blob[:4] != MAGIC:
+        raise ValueError("bad magic")
+    off = 4
+    (schema_len,) = struct.unpack_from("<I", blob, off)
+    off += 4
+    schema = pa.ipc.read_schema(pa.py_buffer(blob[off : off + schema_len]))
+    off += schema_len
+    t = schema.field(0).type
+    codec_id, n, null_count = struct.unpack_from("<Bqq", blob, off)
+    off += 17
+
+    if codec_id == IPC:
+        with pa.ipc.open_stream(pa.py_buffer(blob[off:])) as r:
+            tbl = r.read_all()
+        return tbl.column(0).combine_chunks()
+
+    mask = None
+    if null_count:
+        nbytes = (n + 7) // 8
+        mask = np.unpackbits(
+            np.frombuffer(blob, dtype=np.uint8, count=nbytes, offset=off),
+            count=n,
+            bitorder="little",
+        ).astype(bool)
+        off += nbytes
+    payload = blob[off:]
+    n_valid = n - null_count
+
+    if codec_id == PLAIN_FIXED:
+        return _dec_plain_fixed(payload, t, n_valid, mask)
+    if codec_id == INTS:
+        return _int_restore(decode_ints(payload), t, mask)
+    if codec_id == PLAIN_STR:
+        lenb, o = _unblk(payload, 0)
+        blob_b, o = _unblk(payload, o)
+        return _string_restore(decode_ints(lenb), blob_b, t, mask)
+    if codec_id == FSST:
+        lengths, data = _dec_fsst(payload)
+        return _string_restore(lengths, data, t, mask)
+    if codec_id == DICT:
+        dict_blob, o = _unblk(payload, 0)
+        idx_blob, o = _unblk(payload, o)
+        dvals = decode_array(dict_blob)
+        idx = decode_ints(idx_blob)
+        nn = dvals.take(pa.array(idx, type=pa.int64()))
+        if mask is None:
+            return nn.cast(t) if nn.type != t else nn
+        # scatter non-null values back into full-length array
+        return _scatter(nn, t, mask)
+    raise ValueError(f"unknown codec {codec_id}")
+
+
+def _scatter(nn: pa.Array, t: pa.DataType, mask: np.ndarray) -> pa.Array:
+    n = len(mask)
+    take_idx = np.full(n, -1, dtype=np.int64)
+    take_idx[~mask] = np.arange(len(nn), dtype=np.int64)
+    idx_arr = pa.array(
+        np.where(mask, 0, take_idx), mask=mask, type=pa.int64()
+    )
+    out = nn.take(idx_arr)
+    return out.cast(t) if out.type != t else out

@@ -1,0 +1,164 @@
+"""Integer codecs: frame-of-reference+bitpack, delta, RLE, plain.
+
+Self-describing little payloads over int64 numpy arrays. These are the
+building blocks the higher-level column codecs (dictionary indices,
+string lengths, run lengths) reuse via :func:`encode_ints_best`.
+
+Re-implements from scratch the encodings parquet-mr applies under
+parquet4s (RLE/bit-packed hybrid for dictionary ids and levels — see
+/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/ParquetWriter.scala:79-84),
+expressed as whole-array vectorized numpy transforms instead of a
+per-value state machine.
+
+Payload layout (all little-endian):
+  [1B tag][8B n][body]
+  tag 0 PLAIN : body = raw int64 values
+  tag 1 FORBP : body = [8B ref][1B width][packed bits]
+  tag 2 DELTA : body = [8B first][1B width][8B ref][packed zigzag deltas]
+  tag 3 RLE   : body = [8B n_runs][ints payload run_values][ints payload run_lengths]
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .bitpack import bit_width, pack_bits, unpack_bits
+
+TAG_PLAIN = 0
+TAG_FORBP = 1
+TAG_DELTA = 2
+TAG_RLE = 3
+
+_HDR = struct.Struct("<Bq")
+
+
+def _to_i64(values: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(values, dtype=np.int64)
+
+
+# ---------------------------------------------------------------- encoders
+
+
+def encode_plain(values: np.ndarray) -> bytes:
+    v = _to_i64(values)
+    return _HDR.pack(TAG_PLAIN, len(v)) + v.tobytes()
+
+
+def encode_forbp(values: np.ndarray) -> bytes | None:
+    """Frame-of-reference + bit-pack. None if the range overflows int64."""
+    v = _to_i64(values)
+    if len(v) == 0:
+        return _HDR.pack(TAG_FORBP, 0) + struct.pack("<qB", 0, 0)
+    lo = int(v.min())
+    hi = int(v.max())
+    span = hi - lo  # python ints: no overflow
+    if span >= (1 << 63):
+        return None
+    width = bit_width(span)
+    # span < 2**63 guarantees (v - lo) fits int64; reinterpret as uint64
+    packed = pack_bits((v - lo).view(np.uint64), width)
+    return _HDR.pack(TAG_FORBP, len(v)) + struct.pack("<qB", lo, width) + packed
+
+
+def _zigzag(d: np.ndarray) -> np.ndarray:
+    return ((d << 1) ^ (d >> 63)).astype(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -((u & np.uint64(1)).astype(np.int64))
+
+
+def encode_delta(values: np.ndarray) -> bytes | None:
+    """First value + zigzagged deltas, FOR+bit-packed. Wins on sorted ids."""
+    v = _to_i64(values)
+    if len(v) < 2:
+        return None
+    with np.errstate(over="ignore"):
+        d = np.diff(v)
+    # verify no int64 overflow in diffs
+    if not np.array_equal(v[:-1] + d, v[1:]):
+        return None
+    zz = _zigzag(d)
+    lo = int(zz.min())
+    width = bit_width(int(zz.max()) - lo)
+    packed = pack_bits(zz - np.uint64(lo), width)
+    return (
+        _HDR.pack(TAG_DELTA, len(v))
+        + struct.pack("<qB", int(v[0]), width)
+        + struct.pack("<q", lo)
+        + packed
+    )
+
+
+def encode_rle(values: np.ndarray) -> bytes:
+    """Run-length: change-point split, then best-int-encode values+lengths."""
+    v = _to_i64(values)
+    if len(v) == 0:
+        return _HDR.pack(TAG_RLE, 0) + struct.pack("<q", 0)
+    change = np.flatnonzero(np.diff(v) != 0)
+    starts = np.concatenate(([0], change + 1))
+    run_values = v[starts]
+    ends = np.concatenate((starts[1:], [len(v)]))
+    run_lengths = ends - starts
+    body_v = encode_ints_best(run_values, allow_rle=False)
+    body_l = encode_ints_best(run_lengths, allow_rle=False)
+    return (
+        _HDR.pack(TAG_RLE, len(v))
+        + struct.pack("<q", len(run_values))
+        + struct.pack("<q", len(body_v))
+        + body_v
+        + body_l
+    )
+
+
+def encode_ints_best(values: np.ndarray, allow_rle: bool = True) -> bytes:
+    """Encode with whichever of plain/forbp/delta/rle is smallest."""
+    v = _to_i64(values)
+    candidates = [encode_plain(v)]
+    f = encode_forbp(v)
+    if f is not None:
+        candidates.append(f)
+    d = encode_delta(v)
+    if d is not None:
+        candidates.append(d)
+    if allow_rle and len(v) > 4:
+        candidates.append(encode_rle(v))
+    return min(candidates, key=len)
+
+
+# ---------------------------------------------------------------- decoder
+
+
+def decode_ints(payload: bytes) -> np.ndarray:
+    tag, n = _HDR.unpack_from(payload, 0)
+    off = _HDR.size
+    if tag == TAG_PLAIN:
+        return np.frombuffer(payload, dtype=np.int64, count=n, offset=off).copy()
+    if tag == TAG_FORBP:
+        ref, width = struct.unpack_from("<qB", payload, off)
+        off += 9
+        u = unpack_bits(payload[off:], width, n)
+        return (u.view(np.int64) + ref).astype(np.int64)
+    if tag == TAG_DELTA:
+        first, width = struct.unpack_from("<qB", payload, off)
+        off += 9
+        (lo,) = struct.unpack_from("<q", payload, off)
+        off += 8
+        u = unpack_bits(payload[off:], width, n - 1) + np.uint64(lo)
+        d = _unzigzag(u)
+        out = np.empty(n, dtype=np.int64)
+        out[0] = first
+        np.cumsum(d, out=out[1:])
+        out[1:] += first
+        return out
+    if tag == TAG_RLE:
+        (n_runs,) = struct.unpack_from("<q", payload, off)
+        off += 8
+        (len_v,) = struct.unpack_from("<q", payload, off)
+        off += 8
+        run_values = decode_ints(payload[off : off + len_v])
+        run_lengths = decode_ints(payload[off + len_v :])
+        return np.repeat(run_values, run_lengths)
+    raise ValueError(f"unknown int codec tag {tag}")

@@ -1,0 +1,222 @@
+"""Unit tests for the codec kernel layer (no Spark).
+
+Models the reference's per-codec unit specs + round-trip matrix
+(ValueCodecsSpec / CompatibilityTestCases,
+/root/reference/core/src/it/scala/com/github/mjakubowski84/parquet4s/CompatibilityTestCases.scala:12-113)
+as golden-vector encode/decode assertions per FIXTURES.md F2.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from colcrush.codecs import (
+    decode_array,
+    decode_ints,
+    encode_array,
+    encode_ints_best,
+    pack_bits,
+    unpack_bits,
+)
+from colcrush.codecs import column as C
+from colcrush.codecs import fsst
+from colcrush.codecs.intcodec import (
+    encode_delta,
+    encode_forbp,
+    encode_plain,
+    encode_rle,
+)
+
+rng = np.random.default_rng(42)
+
+
+# ------------------------------------------------------------ bit packing
+
+
+@pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 12, 16, 20, 32, 63])
+def test_pack_unpack_roundtrip(width):
+    n = 1000
+    if width == 0:
+        v = np.zeros(n, dtype=np.uint64)
+    else:
+        v = rng.integers(0, 1 << width, size=n, dtype=np.uint64)
+    assert np.array_equal(unpack_bits(pack_bits(v, width), width, n), v)
+
+
+def test_pack_bits_size():
+    v = np.arange(8, dtype=np.uint64)
+    assert len(pack_bits(v, 3)) == 3  # 8 values * 3 bits = 24 bits = 3 bytes
+
+
+# ------------------------------------------------------------ int codecs
+
+
+INT_CASES = [
+    np.array([], dtype=np.int64),
+    np.array([0], dtype=np.int64),
+    np.array([7] * 5000, dtype=np.int64),  # constant -> RLE
+    np.arange(10_000, dtype=np.int64),  # ramp -> delta
+    np.arange(10_000, dtype=np.int64) * 1000 + 5,
+    rng.integers(-(2**40), 2**40, 10_000).astype(np.int64),
+    np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0, -1, 1]),
+    np.repeat(rng.integers(0, 4, 100), rng.integers(1, 50, 100)).astype(np.int64),
+]
+
+
+@pytest.mark.parametrize("case", range(len(INT_CASES)))
+def test_int_roundtrip(case):
+    v = INT_CASES[case]
+    assert np.array_equal(decode_ints(encode_ints_best(v)), v)
+
+
+def test_int_individual_codecs():
+    v = np.repeat(np.array([3, -9, 3, 1 << 50], dtype=np.int64), [7, 2, 30, 1])
+    for enc in (encode_plain, encode_forbp, encode_rle):
+        assert np.array_equal(decode_ints(enc(v)), v)
+    d = encode_delta(v)
+    assert d is not None and np.array_equal(decode_ints(d), v)
+
+
+def test_int_codec_choices_compress():
+    const = np.full(100_000, 42, dtype=np.int64)
+    assert len(encode_ints_best(const)) < 200  # RLE collapses it
+    ramp = np.arange(100_000, dtype=np.int64)
+    assert len(encode_ints_best(ramp)) < 1000  # delta collapses it
+    small_range = rng.integers(0, 16, 100_000).astype(np.int64)
+    assert len(encode_ints_best(small_range)) < 100_000 * 8 // 10  # 4-bit pack
+
+
+def test_forbp_overflow_guard():
+    v = np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max])
+    assert encode_forbp(v) is None  # span overflows -> refuse
+
+
+# ------------------------------------------------------------ fsst / bpe
+
+
+def test_fsst_roundtrip_text():
+    corpus = (b"def main(args):\n    return fetch(args)\n" * 500) + bytes(
+        rng.integers(32, 127, 5000, dtype=np.uint8)
+    )
+    table = fsst.train(corpus)
+    comp = fsst.compress(corpus, table)
+    assert fsst.decompress(comp, table) == corpus
+    assert len(comp) < len(corpus) // 2  # repetitive text compresses well
+
+
+def test_fsst_all_bytes_used_falls_back():
+    corpus = bytes(range(256)) * 100
+    table = fsst.train(corpus)
+    assert table == []  # no free codes -> empty table
+    assert fsst.decompress(fsst.compress(corpus, table), table) == corpus
+
+
+def test_fsst_table_serialization():
+    corpus = b"abcabcabcabc xyzxyzxyz " * 100
+    table = fsst.train(corpus)
+    ser = fsst.serialize_table(table)
+    table2, off = fsst.deserialize_table(ser)
+    assert table2 == table and off == len(ser)
+
+
+# ------------------------------------------------------------ column codec
+
+
+def _roundtrip(arr: pa.Array, **kw) -> tuple[pa.Array, dict]:
+    blob, meta = encode_array(arr, **kw)
+    out = decode_array(blob)
+    return out, meta
+
+
+ARRAYS = {
+    "str_dictfriendly": pa.array(["scala", "python", "scala", "go"] * 1000),
+    "str_unique": pa.array([f"id-{i}-{hashlib.md5(str(i).encode()).hexdigest()}" for i in range(2000)]),
+    "str_with_nulls": pa.array(["a", None, "", None, "bb"] * 100),
+    "str_empty": pa.array([], type=pa.string()),
+    "str_all_null": pa.array([None, None], type=pa.string()),
+    "str_unicode": pa.array(["déf ƒünc()", "λx→x", "中文注释", ""] * 50),
+    "large_str": pa.array(["x" * 10000, "y"] * 10, type=pa.large_string()),
+    "binary": pa.array([b"\x00\xff\x00", b"", None, b"abc"] * 50, type=pa.binary()),
+    "int64": pa.array(rng.integers(-1000, 1000, 3000), type=pa.int64()),
+    "int64_nulls": pa.array([1, None, 3, None, 5] * 100, type=pa.int64()),
+    "int32": pa.array([0, -1, 2**31 - 1, -(2**31)] * 10, type=pa.int32()),
+    "int16": pa.array([0, 1, -1, 32767, -32768] * 5, type=pa.int16()),
+    "int8": pa.array([0, 127, -128] * 5, type=pa.int8()),
+    "bool": pa.array([True] * 500 + [False, True] * 250),
+    "bool_nulls": pa.array([True, None, False] * 100),
+    "float32": pa.array(np.linspace(0, 1, 500).astype(np.float32), type=pa.float32()),
+    "float64": pa.array([0.0, -0.0, 1.5, -2.25] * 100, type=pa.float64()),
+    "float64_nulls": pa.array([1.0, None, 3.0] * 100, type=pa.float64()),
+    "ts_us": pa.array(
+        [datetime.datetime(1969, 12, 31), datetime.datetime(2024, 2, 29, 23, 59, 59, 999999), None],
+        type=pa.timestamp("us"),
+    ),
+    "date32": pa.array([datetime.date(1970, 1, 1), datetime.date(2200, 1, 1), None], type=pa.date32()),
+    "decimal": pa.array(
+        [decimal.Decimal("0"), decimal.Decimal("-1.5"), decimal.Decimal("12345678901234567890.123456789012345678"), None],
+        type=pa.decimal128(38, 18),
+    ),
+    "list_int": pa.array([[1, 2], [], None, [3]], type=pa.list_(pa.int64())),
+}
+
+
+@pytest.mark.parametrize("name", list(ARRAYS))
+def test_column_roundtrip(name):
+    arr = ARRAYS[name]
+    out, meta = _roundtrip(arr)
+    assert out.type == arr.type, f"{name}: type {out.type} != {arr.type}"
+    assert out.equals(arr) or out.to_pylist() == arr.to_pylist(), f"{name} mismatch"
+    assert meta["n_rows"] == len(arr)
+    assert meta["n_nulls"] == arr.null_count
+
+
+def test_codec_selection_dict_for_categorical():
+    _, meta = _roundtrip(pa.array(["python", "scala"] * 5000))
+    assert meta["codec"] == "dict"
+    assert meta["dict_size"] == 2
+
+
+def test_codec_selection_fsst_for_templated_text():
+    rows = [f"import os\nimport sys\n\ndef handler_{i}(event):\n    return os.path.join(event.path, 'x')\n" for i in range(500)]
+    _, meta = _roundtrip(pa.array(rows))
+    assert meta["codec"] == "fsst"
+    blob, _ = encode_array(pa.array(rows))
+    raw = sum(len(r.encode()) for r in rows)
+    assert len(blob) < raw // 2
+
+
+def test_codec_selection_plain_for_random_strings():
+    rows = [rng.bytes(40).hex() for _ in range(500)]
+    _, meta = _roundtrip(pa.array(rows))
+    assert meta["codec"] in ("plain_str", "fsst")  # hex digits may still pair
+
+
+def test_forced_codecs_all_roundtrip():
+    arr = pa.array(["alpha", "beta", None, "alpha", ""] * 200)
+    for force in (C.PLAIN_STR, C.DICT, C.FSST, C.IPC):
+        blob, meta = encode_array(arr, force_codec=force)
+        assert decode_array(blob).to_pylist() == arr.to_pylist(), meta["codec"]
+
+
+def test_minmax_stats_recorded():
+    _, meta = _roundtrip(pa.array([5, 1, 9, None], type=pa.int64()))
+    assert meta["min"] == 1 and meta["max"] == 9
+    _, meta = _roundtrip(pa.array(["b", "a", "c"]))
+    assert meta["min"] == "a" and meta["max"] == "c"
+
+
+def test_content_sha_invariant():
+    """The per-row invariant from BASELINE.json input_hint: content
+    sha256 must match byte-for-byte after a round trip."""
+    rows = ["def f():\n  pass\n", "", "π = 3.14159 # ünïcode", "x" * 70000]
+    arr = pa.array(rows, type=pa.string())
+    out, _ = _roundtrip(arr)
+    src = [hashlib.sha256(r.encode("utf-8")).hexdigest() for r in rows]
+    got = [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in out.to_pylist()]
+    assert src == got
