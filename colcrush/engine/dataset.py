@@ -1,0 +1,142 @@
+"""Encoded dataset persistence: chunks + manifest + resumable restarts.
+
+Directory layout (an Iceberg-metadata-style commit protocol without the
+Iceberg jars, which aren't in this image):
+
+  <root>/schema.json          original table schema (Spark JSON)
+  <root>/chunks/              chunk rows incl. payload, parquet, UNCOMPRESSED
+                              (our codecs did the compression — storing
+                              them re-compressed would hide the ratio)
+  <root>/manifest/            chunk rows sans payload (lineage + metrics:
+                              codec, dict size, ratio, row counts, min/max)
+
+The manifest is written AFTER the chunks, so its presence commits them —
+the analog of parquet4s's postWriteHandler checkpoint semantics
+(/root/reference/akkaPekko/src/main/scala/com/github/mjakubowski84/parquet4s/ParquetPartitioningFlow.scala:303-316).
+Resume = anti-join the planned (group, salt) work units against the
+committed manifest and encode only what's missing
+(SURVEY.md §7 step 5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from .decoder import decode_table
+from .encoder import MANIFEST_COLS, encode_table
+
+SCHEMA_FILE = "schema.json"
+CHUNKS_DIR = "chunks"
+MANIFEST_DIR = "manifest"
+
+
+def _write_schema(path: str, schema: T.StructType) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, SCHEMA_FILE), "w") as f:
+        f.write(schema.json())
+
+
+def read_schema(path: str) -> T.StructType:
+    with open(os.path.join(path, SCHEMA_FILE)) as f:
+        return T.StructType.fromJson(json.load(f))
+
+
+def write_encoded(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    **encode_kwargs,
+) -> None:
+    """Encode ``df`` and persist chunks + manifest at ``path``.
+
+    mode: 'error' (CREATE semantics, like parquet4s Mode.CREATE —
+    /root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/IOOps.scala:37-56),
+    'overwrite', or 'append'.
+    """
+    chunks_path = os.path.join(path, CHUNKS_DIR)
+    manifest_path = os.path.join(path, MANIFEST_DIR)
+    if mode == "error" and os.path.exists(chunks_path):
+        raise FileExistsError(f"{path} already contains an encoded dataset")
+    encoded = encode_table(df, **encode_kwargs)
+    _write_schema(path, df.schema)
+    write_mode = "overwrite" if mode == "overwrite" else "append"
+    (
+        encoded.write.mode(write_mode)
+        .option("compression", "uncompressed")
+        .parquet(chunks_path)
+    )
+    spark = df.sparkSession
+    # manifest = full payload-pruned re-scan of chunks (column pruning makes
+    # this cheap); always overwritten so it exactly reflects committed chunks
+    manifest = spark.read.parquet(chunks_path).select(*MANIFEST_COLS)
+    manifest.write.mode("overwrite").parquet(manifest_path)
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, MANIFEST_DIR))
+
+
+def read_chunks(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, CHUNKS_DIR))
+
+
+def read_decoded(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Full decode of a persisted dataset (optionally projected)."""
+    schema = read_schema(path)
+    return decode_table(read_chunks(spark, path), schema, columns=columns)
+
+
+def resume_encode(
+    df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    **encode_kwargs,
+) -> int:
+    """Encode only groups not yet committed in the manifest; append.
+
+    Returns the number of (group) work units that were still missing.
+    Chunk determinism (hash partitioning on group+salt, sorted rows,
+    content-independent chunk ids) guarantees a resumed run reproduces
+    byte-identical chunks for the missing groups.
+    """
+    spark = df.sparkSession
+    manifest_path = os.path.join(path, MANIFEST_DIR)
+    chunks_path = os.path.join(path, CHUNKS_DIR)
+    if not os.path.exists(manifest_path):
+        if os.path.exists(os.path.join(chunks_path, "_SUCCESS")):
+            # crashed between chunk write and manifest commit: the chunk
+            # job itself completed (_SUCCESS), so recover the manifest
+            manifest = spark.read.parquet(chunks_path).select(*MANIFEST_COLS)
+            manifest.write.mode("overwrite").parquet(manifest_path)
+        else:
+            write_encoded(
+                df, path, mode="append", group_cols=group_cols, **encode_kwargs
+            )
+            return df.select(*group_cols).distinct().count()
+
+    committed = (
+        read_manifest(spark, path)
+        .select("group_key")
+        .distinct()
+        .withColumn("_gk", F.col("group_key"))
+        .drop("group_key")
+    )
+    key_expr = F.to_json(F.array(*[F.col(c).cast("string") for c in group_cols]))
+    pending = df.withColumn("_gk", key_expr).join(
+        F.broadcast(committed), on="_gk", how="left_anti"
+    )
+    n_missing = pending.select(*group_cols).distinct().count()
+    if n_missing == 0:
+        return 0
+    write_encoded(
+        pending.drop("_gk"), path, mode="append", group_cols=group_cols, **encode_kwargs
+    )
+    return n_missing

@@ -1,0 +1,111 @@
+"""Distributed decode: chunk table -> original DataFrame.
+
+Projected decode (only requested columns travel + decode) is the
+engine's analog of parquet4s column projection
+(/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/ParquetIterator.scala:107,
+ParquetReader.scala:283-319). Chunk rows are co-located by a single
+repartition on chunk_id; the decode fn reassembles a chunk once all of
+its requested column rows have arrived (order-free accumulation, so no
+sort is needed).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..codecs import decode_array
+
+
+def _spark_field_for(arrow_type: pa.DataType) -> T.DataType:
+    """Minimal arrow->spark type mapping for decode output schemas."""
+    if pa.types.is_string(arrow_type) or pa.types.is_large_string(arrow_type):
+        return T.StringType()
+    if pa.types.is_binary(arrow_type) or pa.types.is_large_binary(arrow_type):
+        return T.BinaryType()
+    if pa.types.is_int64(arrow_type):
+        return T.LongType()
+    if pa.types.is_int32(arrow_type):
+        return T.IntegerType()
+    if pa.types.is_int16(arrow_type):
+        return T.ShortType()
+    if pa.types.is_int8(arrow_type):
+        return T.ByteType()
+    if pa.types.is_float64(arrow_type):
+        return T.DoubleType()
+    if pa.types.is_float32(arrow_type):
+        return T.FloatType()
+    if pa.types.is_boolean(arrow_type):
+        return T.BooleanType()
+    if pa.types.is_timestamp(arrow_type):
+        return T.TimestampType()
+    if pa.types.is_date(arrow_type):
+        return T.DateType()
+    if isinstance(arrow_type, pa.Decimal128Type):
+        return T.DecimalType(arrow_type.precision, arrow_type.scale)
+    if pa.types.is_list(arrow_type) or pa.types.is_large_list(arrow_type):
+        return T.ArrayType(_spark_field_for(arrow_type.value_type))
+    if pa.types.is_map(arrow_type):
+        return T.MapType(
+            _spark_field_for(arrow_type.key_type),
+            _spark_field_for(arrow_type.item_type),
+        )
+    if pa.types.is_struct(arrow_type):
+        return T.StructType(
+            [
+                T.StructField(f.name, _spark_field_for(f.type), True)
+                for f in arrow_type
+            ]
+        )
+    raise TypeError(f"unsupported arrow type {arrow_type}")
+
+
+def decode_table(
+    chunks: DataFrame,
+    schema: T.StructType,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Decode a chunk DataFrame (ENCODED_DDL) back to rows.
+
+    ``schema`` is the original table's Spark schema; ``columns``
+    restricts the projection (pruning happens BEFORE the shuffle — only
+    requested payloads move).
+    """
+    requested = set(columns or [f.name for f in schema.fields])
+    missing = requested - {f.name for f in schema.fields}
+    if missing:
+        raise ValueError(f"columns not in schema: {missing}")
+    columns = [f.name for f in schema.fields if f.name in requested]
+    out_schema = T.StructType([f for f in schema.fields if f.name in requested])
+    n_expected = len(columns)
+
+    pruned = chunks.where(chunks["column"].isin(columns)).select(
+        "chunk_id", "column", "payload"
+    )
+    spark = chunks.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    pruned = pruned.repartition(n_parts, "chunk_id")
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pending: dict[str, dict[str, bytes]] = {}
+        for batch in it:
+            cids = batch.column("chunk_id").to_pylist()
+            cols = batch.column("column").to_pylist()
+            payloads = batch.column("payload")
+            for i, cid in enumerate(cids):
+                d = pending.setdefault(cid, {})
+                d[cols[i]] = payloads[i].as_py()
+                if len(d) == n_expected:
+                    arrays = [decode_array(d[c]) for c in columns]
+                    del pending[cid]
+                    yield pa.record_batch(arrays, names=columns)
+        if pending:
+            raise RuntimeError(
+                f"incomplete chunks after decode: {list(pending)[:5]}"
+            )
+
+    return pruned.mapInArrow(fn, out_schema)

@@ -1,0 +1,283 @@
+"""Distributed per-column-chunk encoding over ``mapInArrow``.
+
+The Spark-first re-expression of the layer parquet4s delegates to
+parquet-mr (dictionary/RLE/plain per column chunk with size-based
+fallback — knobs at /root/reference/core/src/main/scala/com/github/
+mjakubowski84/parquet4s/ParquetWriter.scala:79-100) plus the partitioned
+rotating sink's grouping semantics (ParquetPartitioningFlow.scala:
+363-398,503-507): rows are shuffled once onto ``group_cols + salt``,
+sorted within partitions so each (group, salt) is contiguous, and cut
+into chunks of ~``target_chunk_bytes``; every column of a chunk is
+encoded independently by the auto-selecting codec layer.
+
+Scale design:
+- ONE shuffle total (repartition on group+salt); encoding is map-side.
+- Skew (one mega-repo = north_rule) is handled by a salt count derived
+  from a first-pass size histogram, broadcast-joined back (small dim).
+- Chunk identity is a pure function of (group, salt, seq), and the
+  group+salt hash partitioning makes chunk boundaries independent of
+  the partition count, so N- and 4N-core runs (and resumed runs)
+  produce identical chunks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Iterable, Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs import encode_array
+
+ENCODED_DDL = (
+    "chunk_id string, group_key string, salt int, seq bigint, column string, "
+    "codec string, n_rows bigint, n_nulls bigint, raw_bytes bigint, "
+    "enc_bytes bigint, dict_size bigint, min_s string, max_s string, "
+    "min_d double, max_d double, payload binary"
+)
+
+MANIFEST_COLS = [
+    "chunk_id", "group_key", "salt", "seq", "column", "codec", "n_rows",
+    "n_nulls", "raw_bytes", "enc_bytes", "dict_size", "min_s", "max_s",
+    "min_d", "max_d",
+]
+
+_STAT_TRUNC = 64
+
+
+def _stat_str(v) -> str | None:
+    if v is None:
+        return None
+    s = v if isinstance(v, str) else str(v)
+    return s[:_STAT_TRUNC]
+
+
+def _stat_num(v) -> float | None:
+    if v is None or isinstance(v, str):
+        return None
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def chunk_id_for(group_key: str, salt: int, seq: int) -> str:
+    return hashlib.sha256(f"{group_key}|{salt}|{seq}".encode()).hexdigest()[:32]
+
+
+def _encode_chunk(
+    batches: list[pa.RecordBatch],
+    group_key: str,
+    salt: int,
+    seq: int,
+    profile: str,
+) -> pa.RecordBatch:
+    tbl = pa.Table.from_batches(batches)
+    cid = chunk_id_for(group_key, salt, seq)
+    rows = {name: [] for name in (
+        "chunk_id", "group_key", "salt", "seq", "column", "codec", "n_rows",
+        "n_nulls", "raw_bytes", "enc_bytes", "dict_size", "min_s", "max_s",
+        "min_d", "max_d", "payload")}
+    for name in tbl.column_names:
+        arr = tbl.column(name).combine_chunks()
+        blob, meta = encode_array(arr, profile=profile)
+        rows["chunk_id"].append(cid)
+        rows["group_key"].append(group_key)
+        rows["salt"].append(salt)
+        rows["seq"].append(seq)
+        rows["column"].append(name)
+        rows["codec"].append(meta["codec"])
+        rows["n_rows"].append(meta["n_rows"])
+        rows["n_nulls"].append(meta["n_nulls"])
+        rows["raw_bytes"].append(meta["raw_bytes"])
+        rows["enc_bytes"].append(meta["enc_bytes"])
+        rows["dict_size"].append(meta["dict_size"])
+        rows["min_s"].append(_stat_str(meta["min"]))
+        rows["max_s"].append(_stat_str(meta["max"]))
+        rows["min_d"].append(_stat_num(meta["min"]))
+        rows["max_d"].append(_stat_num(meta["max"]))
+        rows["payload"].append(blob)
+    return pa.record_batch(
+        [
+            pa.array(rows["chunk_id"], type=pa.string()),
+            pa.array(rows["group_key"], type=pa.string()),
+            pa.array(rows["salt"], type=pa.int32()),
+            pa.array(rows["seq"], type=pa.int64()),
+            pa.array(rows["column"], type=pa.string()),
+            pa.array(rows["codec"], type=pa.string()),
+            pa.array(rows["n_rows"], type=pa.int64()),
+            pa.array(rows["n_nulls"], type=pa.int64()),
+            pa.array(rows["raw_bytes"], type=pa.int64()),
+            pa.array(rows["enc_bytes"], type=pa.int64()),
+            pa.array(rows["dict_size"], type=pa.int64()),
+            pa.array(rows["min_s"], type=pa.string()),
+            pa.array(rows["max_s"], type=pa.string()),
+            pa.array(rows["min_d"], type=pa.float64()),
+            pa.array(rows["max_d"], type=pa.float64()),
+            pa.array(rows["payload"], type=pa.binary()),
+        ],
+        names=list(rows.keys()),
+    )
+
+
+def _make_encode_fn(
+    group_cols: list[str],
+    target_chunk_bytes: int,
+    target_chunk_rows: int,
+    profile: str,
+    salt_col: str | None,
+):
+    """Build the mapInArrow function. Rows arrive sorted by
+    (group_cols, salt) within each partition; cut at group/salt changes
+    and at size caps."""
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        buf: list[pa.RecordBatch] = []
+        buf_bytes = 0
+        buf_rows = 0
+        cur_key: str | None = None
+        cur_salt = 0
+        seq = 0
+
+        def flush():
+            nonlocal buf, buf_bytes, buf_rows, seq
+            if buf_rows:
+                out = _encode_chunk(buf, cur_key, cur_salt, seq, profile)
+                seq += 1
+                buf, buf_bytes, buf_rows = [], 0, 0
+                return out
+            return None
+
+        for batch in it:
+            salts = batch.column(salt_col).to_numpy()
+            data = batch.select([c for c in batch.schema.names if c != salt_col])
+            key_change = np.zeros(batch.num_rows, dtype=bool)
+            if group_cols:
+                # vectorized group/salt boundary detection
+                for c in group_cols:
+                    v = batch.column(c).to_numpy(zero_copy_only=False)
+                    key_change[1:] |= v[1:] != v[:-1]
+            key_change[1:] |= salts[1:] != salts[:-1]
+
+            boundaries = np.flatnonzero(key_change)
+            starts = np.concatenate(([0], boundaries))
+            ends = np.concatenate((boundaries, [batch.num_rows]))
+            for s, e in zip(starts, ends):
+                if e <= s:
+                    continue
+                if group_cols:
+                    # must byte-match Spark's F.to_json(F.array(...)) so the
+                    # resume anti-join on group_key works
+                    key = json.dumps(
+                        [str(batch.column(c)[s].as_py()) for c in group_cols],
+                        separators=(",", ":"),
+                        ensure_ascii=False,
+                    )
+                else:
+                    key = "[]"
+                salt = int(salts[s])
+                if cur_key is not None and (key != cur_key or salt != cur_salt):
+                    out = flush()
+                    if out is not None:
+                        yield out
+                    seq = 0
+                cur_key, cur_salt = key, salt
+                sl = data.slice(s, e - s)
+                buf.append(sl)
+                buf_rows += sl.num_rows
+                buf_bytes += sl.nbytes
+                if buf_bytes >= target_chunk_bytes or buf_rows >= target_chunk_rows:
+                    out = flush()
+                    if out is not None:
+                        yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    return fn
+
+
+def plan_salts(
+    df: DataFrame,
+    group_cols: list[str],
+    target_group_bytes: int,
+) -> DataFrame:
+    """First-pass size histogram -> salts-per-group (skew plan).
+
+    Returns a small DataFrame (group_cols..., n_salts int) intended for
+    a broadcast join. The mega-repo from the Zipf fixture lands many
+    salts; tiny groups get 1.
+    """
+    str_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    size_expr = None
+    for c in df.columns:
+        e = F.octet_length(F.col(c)) if c in str_cols else F.lit(8)
+        e = F.coalesce(e, F.lit(0))
+        size_expr = e if size_expr is None else size_expr + e
+    sizes = df.groupBy(*group_cols).agg(F.sum(size_expr).alias("_grp_bytes"))
+    return sizes.select(
+        *group_cols,
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("_grp_bytes") / F.lit(target_group_bytes)).cast("int"),
+        ).alias("_n_salts"),
+    )
+
+
+def encode_table(
+    df: DataFrame,
+    group_cols: Iterable[str] | None = None,
+    sort_cols: Iterable[str] | None = None,
+    target_chunk_bytes: int = 8 << 20,
+    target_chunk_rows: int = 1 << 16,
+    target_group_bytes: int = 64 << 20,
+    profile: str = "balanced",
+    num_partitions: int | None = None,
+    salted: bool = True,
+) -> DataFrame:
+    """Encode ``df`` into the chunk table (ENCODED_DDL schema).
+
+    One shuffle: repartition on (group_cols, salt). Groups bigger than
+    ``target_group_bytes`` are split across ``n_salts`` deterministic
+    salts (hash of sort cols) — the skew fix required by north_rule.
+    """
+    group_cols = list(group_cols or [])
+    sort_cols = list(sort_cols or [c for c in df.columns if c not in group_cols])
+    spark = df.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    salt_col = "__salt"
+    if group_cols and salted:
+        salts = plan_salts(df, group_cols, target_group_bytes)
+        df = df.join(F.broadcast(salts), on=group_cols, how="left")
+        hash_cols = sort_cols or df.columns
+        df = df.withColumn(
+            salt_col,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in hash_cols]),
+                F.coalesce(F.col("_n_salts"), F.lit(1)),
+            ).cast("int"),
+        ).drop("_n_salts")
+    else:
+        # ungrouped: deterministic pseudo-groups via row hash so chunk ids
+        # are unique and independent of the partition count
+        df = df.withColumn(
+            salt_col,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(num_partitions),
+            ).cast("int"),
+        )
+
+    part_cols = [F.col(c) for c in group_cols] + [F.col(salt_col)]
+    df = df.repartition(num_partitions, *part_cols)
+    df = df.sortWithinPartitions(*(group_cols + [salt_col] + sort_cols))
+
+    fn = _make_encode_fn(
+        group_cols, target_chunk_bytes, target_chunk_rows, profile, salt_col
+    )
+    return df.mapInArrow(fn, ENCODED_DDL)

@@ -1,0 +1,179 @@
+"""Manifest-driven scans: chunk skipping + metadata-only statistics.
+
+The engine's analog of parquet4s's stats layer and row-group skipping:
+- metadata-only count/min/max from the manifest (Stats.scala:16-58,
+  stats/FileStats.scala:30-52 in /root/reference)
+- predicate-driven chunk pruning on manifest min/max before any payload
+  is read or decoded (FilteredFileStats.scala:129-143, row-group
+  pushdown in ParquetIterator.scala:144-150)
+
+All pruning is plain DataFrame logic on the (tiny) manifest — Catalyst
+pushes the manifest filters into the parquet scan of chunks/ via a
+broadcast semi-join on chunk_id, so at 100 TB only surviving chunks'
+payload bytes are ever read.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dataset import read_chunks, read_manifest, read_schema
+from .decoder import decode_table
+
+_OPS = {"==", "!=", "<", "<=", ">", ">=", "in", "is_null", "not_null"}
+
+
+def count_rows(spark: SparkSession, path: str) -> int:
+    """Metadata-only row count (parquet4s Stats.recordCount analog)."""
+    m = read_manifest(spark, path)
+    row = (
+        m.groupBy("chunk_id")
+        .agg(F.max("n_rows").alias("n"))
+        .agg(F.sum("n").alias("total"))
+        .collect()[0]
+    )
+    return int(row["total"] or 0)
+
+
+def column_min_max(spark: SparkSession, path: str, column: str) -> tuple[Any, Any]:
+    """Metadata-only min/max folded over chunk stats (Stats.min/max)."""
+    m = read_manifest(spark, path).where(F.col("column") == column)
+    row = m.agg(
+        F.min("min_d").alias("mn_d"),
+        F.max("max_d").alias("mx_d"),
+        F.min("min_s").alias("mn_s"),
+        F.max("max_s").alias("mx_s"),
+    ).collect()[0]
+    if row["mn_d"] is not None:
+        return row["mn_d"], row["mx_d"]
+    return row["mn_s"], row["mx_s"]
+
+
+def _chunk_survives(filt: tuple) -> "F.Column":
+    """Manifest predicate: True if a chunk MIGHT contain matching rows.
+
+    Mirrors parquet4s's canDrop contract (inverted): only provably
+    empty chunks are dropped. String stats are truncated to 64 chars at
+    encode time, so string range checks are conservative by design.
+    """
+    col, op, val = (filt + (None,))[:3]
+    mn_d, mx_d = F.col("min_d"), F.col("max_d")
+    numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
+    if op == "is_null":
+        return F.col("n_nulls") > 0
+    if op == "not_null":
+        return F.col("n_rows") > F.col("n_nulls")
+    if not numeric:
+        return F.lit(True)  # strings: stats truncated -> keep (conservative)
+    lit = F.lit(float(val))
+    have = mn_d.isNotNull() & mx_d.isNotNull()
+    if op in ("==",):
+        keep = (mn_d <= lit) & (mx_d >= lit)
+    elif op == "<":
+        keep = mn_d < lit
+    elif op == "<=":
+        keep = mn_d <= lit
+    elif op == ">":
+        keep = mx_d > lit
+    elif op == ">=":
+        keep = mx_d >= lit
+    elif op == "in":
+        keep = F.lit(False)
+        for v in val if isinstance(val, (list, tuple, set)) else [val]:
+            keep = keep | ((mn_d <= F.lit(float(v))) & (mx_d >= F.lit(float(v))))
+    else:  # != and anything else: can't prune via range
+        return F.lit(True)
+    return F.when(have, keep).otherwise(F.lit(True))
+
+
+def _residual_condition(filters: list[tuple]) -> "F.Column":
+    cond = F.lit(True)
+    for f in filters:
+        col, op, val = (tuple(f) + (None,))[:3]
+        c = F.col(col)
+        if op == "==":
+            cond = cond & (c == F.lit(val))
+        elif op == "!=":
+            cond = cond & (c != F.lit(val))
+        elif op == "<":
+            cond = cond & (c < F.lit(val))
+        elif op == "<=":
+            cond = cond & (c <= F.lit(val))
+        elif op == ">":
+            cond = cond & (c > F.lit(val))
+        elif op == ">=":
+            cond = cond & (c >= F.lit(val))
+        elif op == "in":
+            cond = cond & c.isin(list(val))
+        elif op == "is_null":
+            cond = cond & c.isNull()
+        elif op == "not_null":
+            cond = cond & c.isNotNull()
+        else:
+            raise ValueError(f"unsupported op {op}")
+    return cond
+
+
+def scan(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    filters: list[tuple] | None = None,
+) -> DataFrame:
+    """Projected, filtered scan of an encoded dataset.
+
+    ``filters``: list of (column, op, value) conjuncts, op in
+    {==, !=, <, <=, >, >=, in, is_null, not_null}. Two-stage: manifest
+    min/max prunes whole chunks (no payload I/O), then the exact
+    predicate re-applies on decoded rows — the same split parquet4s
+    performs between partition filters and file filters
+    (/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/PartitionFilter.scala:338-422).
+    """
+    schema = read_schema(path)
+    filters = list(filters or [])
+    chunks = read_chunks(spark, path)
+    if filters:
+        manifest = read_manifest(spark, path)
+        # a chunk survives iff EVERY conjunct's per-column check passes
+        alive = manifest
+        for f in filters:
+            col = f[0]
+            cond_df = (
+                manifest.where(F.col("column") == col)
+                .where(_chunk_survives(tuple(f)))
+                .select("chunk_id")
+            )
+            alive = alive.join(cond_df, on="chunk_id", how="left_semi")
+        alive_ids = alive.select("chunk_id").distinct()
+        chunks = chunks.join(F.broadcast(alive_ids), on="chunk_id", how="left_semi")
+    need_cols = set(columns or [f.name for f in schema.fields])
+    for f in filters:
+        need_cols.add(f[0])
+    decoded = decode_table(chunks, schema, columns=sorted(need_cols))
+    if filters:
+        decoded = decoded.where(_residual_condition(filters))
+    if columns:
+        decoded = decoded.select(*[c for c in [f.name for f in schema.fields] if c in set(columns)])
+    return decoded
+
+
+def pruned_chunk_count(
+    spark: SparkSession, path: str, filters: list[tuple]
+) -> tuple[int, int]:
+    """(surviving_chunks, total_chunks) for a filter — test/observability
+    hook proving chunk skipping actually skips."""
+    manifest = read_manifest(spark, path)
+    total = manifest.select("chunk_id").distinct().count()
+    alive = manifest.select("chunk_id").distinct()
+    for f in filters:
+        col = f[0]
+        cond_df = (
+            manifest.where(F.col("column") == col)
+            .where(_chunk_survives(tuple(f)))
+            .select("chunk_id")
+            .distinct()
+        )
+        alive = alive.join(cond_df, on="chunk_id", how="left_semi")
+    return alive.count(), total

@@ -1,0 +1,97 @@
+"""End-to-end Spark encode/decode round trips.
+
+Models the reference's write->read compatibility suite
+(/root/reference/core/src/it/scala/com/github/mjakubowski84/parquet4s/ParquetWriterAndParquetReaderCompatibilityItSpec.scala:19-31):
+every row must come back byte-identical; the per-row invariant from
+BASELINE.json input_hint is sha256(content) equality.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from colcrush.engine import decode_table, encode_table
+from colcrush.fixtures import source_code_df
+
+N_ROWS = 2000
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    df = source_code_df(spark, N_ROWS, n_repos=20).cache()
+    df.count()
+    return df
+
+
+def _assert_same_rows(a, b, cols):
+    a, b = a.select(*cols), b.select(*cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_roundtrip_grouped(spark, src):
+    enc = encode_table(src, group_cols=["repo", "lang"], target_chunk_rows=256)
+    dec = decode_table(enc, src.schema)
+    _assert_same_rows(src, dec, src.columns)
+
+
+def test_roundtrip_sha256_invariant(spark, src):
+    enc = encode_table(src, group_cols=["repo", "lang"])
+    dec = decode_table(enc, src.schema)
+    want = src.select(F.sha2(F.col("content"), 256).alias("h"))
+    got = dec.select(F.sha2(F.col("content"), 256).alias("h"))
+    assert want.exceptAll(got).count() == 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_roundtrip_ungrouped(spark, src):
+    enc = encode_table(src.select("path", "content"))
+    dec = decode_table(enc, src.select("path", "content").schema)
+    _assert_same_rows(src.select("path", "content"), dec, ["path", "content"])
+
+
+def test_projected_decode_reads_fewer_payloads(spark, src):
+    enc = encode_table(src, group_cols=["repo", "lang"]).cache()
+    try:
+        dec = decode_table(enc, src.schema, columns=["repo", "lang"])
+        assert dec.columns == ["repo", "lang"]
+        _assert_same_rows(src.select("repo", "lang"), dec, ["repo", "lang"])
+    finally:
+        enc.unpersist()
+
+
+def test_manifest_lineage_counts(spark, src):
+    enc = encode_table(src, group_cols=["repo", "lang"]).cache()
+    try:
+        per_col = enc.groupBy("column").agg(F.sum("n_rows").alias("rows"))
+        rows = {r["column"]: r["rows"] for r in per_col.collect()}
+        assert set(rows) == set(src.columns)
+        assert all(v == N_ROWS for v in rows.values())
+        # raw_bytes lineage for content matches the source byte count
+        raw = enc.where(F.col("column") == "content").agg(
+            F.sum("raw_bytes")
+        ).collect()[0][0]
+        want = src.agg(F.sum(F.octet_length("content"))).collect()[0][0]
+        assert raw == want
+    finally:
+        enc.unpersist()
+
+
+def test_chunk_determinism_across_parallelism(spark, src):
+    """north_rule: chunk ids/boundaries must not depend on the
+    partition count (N vs 4N executors produce identical chunks)."""
+    a = encode_table(src, group_cols=["repo", "lang"], num_partitions=4)
+    b = encode_table(src, group_cols=["repo", "lang"], num_partitions=16)
+    sig = lambda e: e.select("chunk_id", "column", "codec", "n_rows", "enc_bytes")
+    assert sig(a).exceptAll(sig(b)).count() == 0
+    assert sig(b).exceptAll(sig(a)).count() == 0
+
+
+def test_compression_beats_raw(spark, src):
+    enc = encode_table(src, group_cols=["repo", "lang"])
+    agg = enc.agg(
+        F.sum("enc_bytes").alias("enc"), F.sum("raw_bytes").alias("raw")
+    ).collect()[0]
+    assert agg["enc"] < agg["raw"] * 0.6, f"ratio too weak: {agg}"
