@@ -232,6 +232,7 @@ def encode_table(
     df: DataFrame,
     group_cols: Iterable[str] | None = None,
     sort_cols: Iterable[str] | None = None,
+    range_cols: Iterable[str] | None = None,
     target_chunk_bytes: int = 8 << 20,
     target_chunk_rows: int = 1 << 16,
     target_group_bytes: int = 64 << 20,
@@ -244,24 +245,42 @@ def encode_table(
     One shuffle: repartition on (group_cols, salt). Groups bigger than
     ``target_group_bytes`` are split across ``n_salts`` deterministic
     salts (hash of sort cols) — the skew fix required by north_rule.
+
+    Layouts:
+    - ``group_cols`` (default path): hash partition on (group, salt);
+      chunk ids are deterministic and independent of partition count.
+    - ``range_cols``: range partition + sort — chunks carry tight
+      min/max ranges, maximizing manifest chunk-skipping (the analog of
+      sorted row groups). Chunk ids unique per run, not resume-stable.
+    - neither: deterministic row-hash pseudo-groups.
     """
     group_cols = list(group_cols or [])
+    range_cols = list(range_cols or [])
     sort_cols = list(sort_cols or [c for c in df.columns if c not in group_cols])
     spark = df.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
     salt_col = "__salt"
-    if group_cols and salted:
-        salts = plan_salts(df, group_cols, target_group_bytes)
-        df = df.join(F.broadcast(salts), on=group_cols, how="left")
-        hash_cols = sort_cols or df.columns
-        df = df.withColumn(
-            salt_col,
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in hash_cols]),
-                F.coalesce(F.col("_n_salts"), F.lit(1)),
-            ).cast("int"),
-        ).drop("_n_salts")
+    if group_cols:
+        if salted:
+            salts = plan_salts(df, group_cols, target_group_bytes)
+            df = df.join(F.broadcast(salts), on=group_cols, how="left")
+            hash_cols = sort_cols or df.columns
+            df = df.withColumn(
+                salt_col,
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in hash_cols]),
+                    F.coalesce(F.col("_n_salts"), F.lit(1)),
+                ).cast("int"),
+            ).drop("_n_salts")
+        else:
+            df = df.withColumn(salt_col, F.lit(0).cast("int"))
+        df = df.repartition(num_partitions, *group_cols, salt_col)
+        df = df.sortWithinPartitions(*(group_cols + [salt_col] + sort_cols))
+    elif range_cols:
+        df = df.repartitionByRange(num_partitions, *range_cols)
+        df = df.sortWithinPartitions(*range_cols)
+        df = df.withColumn(salt_col, F.spark_partition_id().cast("int"))
     else:
         # ungrouped: deterministic pseudo-groups via row hash so chunk ids
         # are unique and independent of the partition count
@@ -272,10 +291,8 @@ def encode_table(
                 F.lit(num_partitions),
             ).cast("int"),
         )
-
-    part_cols = [F.col(c) for c in group_cols] + [F.col(salt_col)]
-    df = df.repartition(num_partitions, *part_cols)
-    df = df.sortWithinPartitions(*(group_cols + [salt_col] + sort_cols))
+        df = df.repartition(num_partitions, salt_col)
+        df = df.sortWithinPartitions(salt_col, *sort_cols)
 
     fn = _make_encode_fn(
         group_cols, target_chunk_bytes, target_chunk_rows, profile, salt_col

@@ -1,0 +1,130 @@
+"""Persisted datasets: write/read modes, manifest commit, resume, scans.
+
+Models parquet4s's IOOps CREATE/OVERWRITE semantics
+(/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/IOOps.scala:37-56),
+the postWriteHandler checkpoint (ParquetPartitioningFlow.scala:303-316)
+and the stats / row-group-skipping layer (stats/FilteredFileStats.scala:129-143)
+— re-expressed as manifest-driven DataFrame logic (FIXTURES.md F3/F4).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from colcrush.engine import (
+    column_min_max,
+    count_rows,
+    pruned_chunk_count,
+    read_decoded,
+    read_manifest,
+    resume_encode,
+    scan,
+    write_encoded,
+)
+from colcrush.fixtures import source_code_df
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path / "ds")
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    df = source_code_df(spark, 1500, n_repos=10).cache()
+    df.count()
+    return df
+
+
+def test_write_create_mode_refuses_overwrite(spark, src, tmp):
+    write_encoded(src, tmp, group_cols=["repo", "lang"])
+    with pytest.raises(FileExistsError):
+        write_encoded(src, tmp, group_cols=["repo", "lang"])
+    write_encoded(src, tmp, mode="overwrite", group_cols=["repo", "lang"])
+
+
+def test_read_decoded_matches_source(spark, src, tmp):
+    write_encoded(src, tmp, group_cols=["repo", "lang"])
+    dec = read_decoded(spark, tmp)
+    assert dec.exceptAll(src).count() == 0
+    assert src.exceptAll(dec).count() == 0
+
+
+def test_metadata_only_stats(spark, src, tmp):
+    write_encoded(src, tmp, group_cols=["repo", "lang"])
+    assert count_rows(spark, tmp) == src.count()
+    mn, mx = column_min_max(spark, tmp, "lang")
+    langs = [r[0] for r in src.select("lang").distinct().collect()]
+    assert mn == min(langs) and mx == max(langs)
+
+
+def test_resume_encodes_only_missing_groups(spark, src, tmp):
+    langs = [r[0] for r in src.select("lang").distinct().collect()]
+    half = sorted(langs)[: len(langs) // 2]
+    part = src.where(F.col("lang").isin(half))
+    write_encoded(part, tmp, group_cols=["repo", "lang"])
+    committed_before = read_manifest(spark, tmp).select("chunk_id").distinct().count()
+
+    n_missing = resume_encode(src, tmp, group_cols=["repo", "lang"])
+    assert n_missing > 0
+    dec = read_decoded(spark, tmp)
+    assert dec.exceptAll(src).count() == 0
+    assert src.exceptAll(dec).count() == 0
+
+    # second resume: nothing left to do
+    assert resume_encode(src, tmp, group_cols=["repo", "lang"]) == 0
+    committed_after = read_manifest(spark, tmp).select("chunk_id").distinct().count()
+    assert committed_after > committed_before
+
+
+def test_resume_recovers_lost_manifest(spark, src, tmp):
+    write_encoded(src, tmp, group_cols=["repo", "lang"])
+    shutil.rmtree(os.path.join(tmp, "manifest"))
+    assert resume_encode(src, tmp, group_cols=["repo", "lang"]) == 0
+    dec = read_decoded(spark, tmp)
+    assert dec.count() == src.count()
+
+
+def test_resumed_chunks_byte_identical(spark, src, tmp):
+    """F4(c): a resumed run must reproduce byte-identical output."""
+    tmp2 = tmp + "_full"
+    write_encoded(src, tmp2, group_cols=["repo", "lang"])
+
+    langs = [r[0] for r in src.select("lang").distinct().collect()]
+    part = src.where(F.col("lang").isin(sorted(langs)[:3]))
+    write_encoded(part, tmp, group_cols=["repo", "lang"])
+    resume_encode(src, tmp, group_cols=["repo", "lang"])
+
+    a = read_manifest(spark, tmp).select("chunk_id", "column", "enc_bytes", "n_rows")
+    b = read_manifest(spark, tmp2).select("chunk_id", "column", "enc_bytes", "n_rows")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_scan_filters_and_projects(spark, src, tmp):
+    write_encoded(src, tmp, group_cols=["repo", "lang"])
+    got = scan(spark, tmp, columns=["repo", "path"], filters=[("lang", "==", "python")])
+    want = src.where(F.col("lang") == "python").select("repo", "path")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_chunk_skipping_actually_skips(spark, tmp):
+    """FIXTURES.md F3: small chunks + a range predicate must prune
+    chunks via manifest min/max without touching payloads."""
+    sdf = spark.range(4096).select(
+        F.col("id").alias("idx"),
+        (F.col("id") % 4).alias("enum_i"),
+        F.col("id").cast("double").alias("val"),
+    )
+    write_encoded(sdf, tmp, range_cols=["idx"], target_chunk_rows=512)
+    alive, total = pruned_chunk_count(spark, tmp, [("idx", "<", 100)])
+    assert total >= 8
+    assert alive < total, "range predicate should prune chunks"
+    got = scan(spark, tmp, filters=[("idx", "<", 100)])
+    assert got.count() == 100
+    assert got.agg(F.max("idx")).collect()[0][0] == 99
