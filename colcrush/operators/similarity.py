@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with the dot product computed
+JVM-side (``F.zip_with`` + ``F.aggregate`` in double precision — no
+Python in the hot path). Scale path: random-hyperplane LSH bucketing
+(signature via one Arrow-vectorized matmul), probing only the query's
+bucket — the candidate set shrinks ~2^planes-fold before the exact
+re-rank. An IVF variant would swap the bucketer for k-means cells; the
+bucket-join topology below stays identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def dot_expr(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    exclude_id=None,
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    The query is a literal array (broadcast to every task); the scan is
+    embarrassingly parallel, and the global top-k is a
+    TakeOrderedAndProject — no full sort, no extra shuffle.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    out = df.select(
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), q).alias("cosine"),
+    )
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != F.lit(exclude_id))
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _sig_bucket_udf(num_planes: int, seed: int):
+    """Pandas UDF: embedding -> int bucket from random hyperplane signs.
+
+    The plane matrix is derived from the seed inside the worker
+    (deterministic), so nothing large is captured in the closure.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = None
+        out = np.zeros(len(vecs), dtype=np.int64)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series(out)
+        planes = rng.standard_normal((mat.shape[1], num_planes))
+        signs = (mat @ planes) > 0
+        weights = (1 << np.arange(num_planes)).astype(np.int64)
+        out = (signs * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(out)
+
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket,
+    exact cosine re-rank inside it. Recall grows with fewer planes /
+    multiprobe; at 100 TB the bucket filter is a partition-prunable
+    equi-predicate on a precomputed bucket column."""
+    rng = np.random.default_rng(seed)
+    qv = np.asarray(query, dtype=np.float64)
+    planes = rng.standard_normal((len(qv), num_planes))
+    qsig = int(
+        ((qv @ planes > 0) * (1 << np.arange(num_planes)).astype(np.int64)).sum()
+    )
+    bucket = _sig_bucket_udf(num_planes, seed)
+    cand = df.withColumn("_bkt", bucket(F.col(vec_col))).where(
+        F.col("_bkt") == F.lit(qsig)
+    )
+    return brute_force_topk(cand, id_col, vec_col, query, k)

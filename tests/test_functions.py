@@ -1,0 +1,171 @@
+"""Text-analysis + multimodal + sources/streaming tests."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from colcrush.functions.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_media_df,
+)
+from colcrush.functions.text import (
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    token_count,
+    token_count_regex,
+    winnow_fingerprints,
+)
+from colcrush.sources import parquet as src
+from colcrush.sources.memory import bytes_to_table, table_to_bytes
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    rows = [
+        (0, "the cat and the dog sat of the mat"),
+        (1, "der hund und die katze ist der beste und der"),
+        (2, "le chat est la le meilleur est la"),
+        (3, "el gato es el mejor de los gatos es el"),
+        (4, "这是的一个测试是了这是的"),
+        (5, ""),
+        (6, "word"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"]).cache()
+
+
+def test_lang_id(spark, texts):
+    got = {r["id"]: r["l"] for r in texts.select("id", lang_id(F.col("text")).alias("l")).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr"
+    assert got[3] == "es" and got[4] == "zh"
+    assert got[5] == "und" and got[6] == "und"
+
+
+def test_token_count(spark, texts):
+    got = {r["id"]: r["n"] for r in texts.select("id", token_count(F.col("text")).alias("n")).collect()}
+    assert got[0] == 9 and got[5] == 0 and got[6] == 1
+    got2 = {
+        r["id"]: r["n"]
+        for r in texts.select("id", token_count_regex(F.col("text")).alias("n")).collect()
+    }
+    assert got2[0] == 9 and got2[6] == 1
+
+
+def test_quality_and_fingerprints(spark, texts):
+    rows = texts.select(
+        "id",
+        quality_score(F.col("text")).alias("q"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+        winnow_fingerprints(F.col("text")).alias("wf"),
+    ).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert 0 <= by_id[0]["q"] <= 1.5
+    assert by_id[0]["fp"] != by_id[1]["fp"]
+    assert len(by_id[0]["wf"]) > 0 and by_id[5]["wf"] == []
+    # determinism: same text -> same winnow set
+    again = texts.select("id", winnow_fingerprints(F.col("text")).alias("wf")).collect()
+    assert {r["id"]: r["wf"] for r in again}[0] == by_id[0]["wf"]
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media_df(spark, 30)
+    assert media.count() == 30
+    feats = extract_features(media, dim=8, fake=True)
+    rows = feats.collect()
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic: same payload -> same features
+    feats2 = {r["media_id"]: r["features"] for r in extract_features(media, dim=8, fake=True).collect()}
+    assert feats2[0] == [r for r in rows if r["media_id"] == 0][0]["features"]
+    plan = frame_sample_plan(media, every_ms=5000)
+    assert plan.where(F.col("media_id") == 2).count() > 0
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = synthesize_media_df(spark, 2)
+    with pytest.raises(Exception):
+        extract_features(media, fake=False).collect()
+
+
+def test_inmemory_parquet_roundtrip():
+    import pyarrow as pa
+
+    tbl = pa.table({"a": [1, 2, 3], "s": ["x", None, "z"]})
+    data = table_to_bytes(tbl)
+    back = bytes_to_table(data)
+    assert back.equals(tbl)
+    proj = bytes_to_table(data, columns=["s"])
+    assert proj.column_names == ["s"]
+
+
+def test_sources_parity(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.struct(F.col("id").alias("inner")).alias("nested"),
+    )
+    p = str(tmp_path / "t")
+    src.write_partitioned(df, p, ["part"], max_records_per_file=10)
+    back = src.read_partitioned(spark, p)
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "part", "nested"}
+    proj = src.read_projected(spark, p, [("nested.inner", "inner_alias"), "part"])
+    assert proj.columns == ["inner_alias", "part"]
+    filt = src.read_filtered(spark, p, F.col("id") < 10)
+    assert filt.count() == 10
+    # pushdown visible in the plan
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(id,10)" in plan
+    rf = src.record_filter(back, 5, 15, "id")
+    assert rf.count() == 10
+    assert rf.agg(F.min("id")).collect()[0][0] == 5
+
+
+def test_write_create_mode(spark, tmp_path):
+    df = spark.range(5)
+    p = str(tmp_path / "w")
+    src.write(df, p)
+    with pytest.raises(Exception):
+        src.write(df, p)  # CREATE refuses existing (IOOps.scala:37-56)
+    src.write(df, p, mode="overwrite")
+
+
+def test_streaming_rotating_sink(spark, tmp_path):
+    from colcrush.streaming.sink import via_parquet
+
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, None).otherwise((F.col("id") % 2).cast("string")).alias("part"),
+    )
+    df.write.parquet(src_dir)
+
+    seen = {}
+
+    def post(bdf, epoch, parts):
+        seen["parts"] = parts
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    q = via_parquet(
+        stream,
+        out_dir,
+        ["part"],
+        ck,
+        max_records_per_file=50,
+        default_partition="__default__",
+        pre_write=lambda d: d.withColumn("doubled", F.col("id") * 2),
+        post_write=post,
+    )
+    q.awaitTermination(60)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 200
+    assert out.where(F.col("part") == "__default__").count() == 67
+    assert "doubled" in out.columns
+    assert ("__default__",) in seen["parts"]
+    parts_dirs = [d for d in os.listdir(out_dir) if d.startswith("part=")]
+    assert len(parts_dirs) == 3

@@ -1,0 +1,149 @@
+"""Operator tests: joins (JoinSpec parity), dedup family, similarity.
+
+Join semantics matrix mirrors
+/root/reference/core/src/test/scala/com/github/mjakubowski84/parquet4s/etl/JoinSpec.scala:10-174
+(left/right/inner/full x non-empty and empty sides).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from colcrush.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from colcrush.operators.joins import (
+    concat,
+    full_join,
+    inner_join,
+    left_join,
+    right_join,
+)
+from colcrush.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def left_right(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "lv"]
+    )
+    right = spark.createDataFrame([(2, "x"), (3, "y"), (4, "z")], ["k2", "rv"])
+    return left, right
+
+
+def test_join_matrix(spark, left_right):
+    left, right = left_right
+    assert inner_join(left, right, "k", "k2").count() == 2
+    lj = left_join(left, right, "k", "k2")
+    assert lj.count() == 3
+    assert lj.where(F.col("rv").isNull()).count() == 1  # null-padded
+    rj = right_join(left, right, "k", "k2")
+    assert rj.count() == 3
+    assert rj.where(F.col("lv").isNull()).count() == 1  # leftovers
+    fj = full_join(left, right, "k", "k2")
+    assert fj.count() == 4
+
+
+def test_join_empty_sides(spark, left_right):
+    left, right = left_right
+    empty = right.limit(0)
+    assert inner_join(left, empty, "k", "k2").count() == 0
+    assert left_join(left, empty, "k", "k2").count() == left.count()
+    assert right_join(left, empty, "k", "k2").count() == 0
+    assert full_join(left, empty, "k", "k2").count() == left.count()
+
+
+def test_join_is_broadcast(spark, left_right):
+    left, right = left_right
+    plan = inner_join(left, right, "k", "k2")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_concat(spark, left_right):
+    left, _ = left_right
+    assert concat(left, left, left).count() == 9
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (3, "completely different text about spark query engines and codecs"),
+        (4, "another unrelated document mentioning columnar compression only"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "doc_id", "text")
+    assert out.count() == 4
+    assert out.where(F.col("doc_id") == 1).count() == 0  # 0 kept, 1 dropped
+    groups = exact_dup_groups(docs, "doc_id", "text")
+    dup = groups.where(F.col("n_copies") > 1).collect()
+    assert len(dup) == 1 and dup[0]["keeper"] == 0 and dup[0]["n_copies"] == 2
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=2
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 1) in found  # exact dup always caught
+    assert (2, 0) in found or (0, 2) in found or (1, 2) in found or (2, 1) in found
+    assert all(p not in found for p in [(0, 3), (0, 4), (3, 4)])
+
+
+def test_simhash_finds_near_dups(spark, docs):
+    pairs = simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=6).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 1) in found
+    assert (0, 3) not in found and (0, 4) not in found
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
+    rows = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    assert rows[(0, 1)] == 1.0
+    assert any(k in rows for k in [(0, 2), (1, 2)])
+    assert (0, 3) not in rows
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(50):
+        if i < 5:  # 5 vectors near the base direction
+            v = base + 0.01 * rng.standard_normal(8)
+        else:
+            v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache(), [
+        float(x) for x in base
+    ]
+
+
+def test_brute_force_topk(spark, vectors):
+    df, q = vectors
+    top = brute_force_topk(df, "vec_id", "embedding", q, k=5).collect()
+    ids = [r["vec_id"] for r in top]
+    assert set(ids) == {0, 1, 2, 3, 4}
+    assert all(r["cosine"] > 0.99 for r in top)
+
+
+def test_lsh_topk_recovers_neighbors(spark, vectors):
+    df, q = vectors
+    top = lsh_topk(df, "vec_id", "embedding", q, k=5, num_planes=6).collect()
+    ids = {r["vec_id"] for r in top}
+    # near-identical vectors share the query's bucket with very high prob.
+    assert ids & {0, 1, 2, 3, 4}, f"LSH lost all true neighbors: {ids}"
