@@ -1,0 +1,654 @@
+"""Driver-facing query surface: every implemented operator from
+SURVEY.md §2 as a (spark callable, DuckDB oracle SQL) pair.
+
+Conventions that make the driver's order-insensitive value-hash match:
+- every computed column is aliased identically on both sides;
+- float aggregates go through exact DECIMAL arithmetic, then cast to
+  double (sum order then cannot perturb values);
+- session time zone pinned to UTC inside each callable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .engine import encode_table
+from .engine.decoder import decode_table
+from .functions.text import lang_id, quality_score, token_count
+from .operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from .operators.joins import concat, full_join, inner_join, left_join, right_join
+from .operators.similarity import brute_force_topk
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str) -> F.Column:
+    """Exact money/quantity decimal (values < 10^10, 2 decimals)."""
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _rate(col: str) -> F.Column:
+    """Exact small-rate decimal (discount/tax in [0,1), 2 decimals)."""
+    return F.col(col).cast("decimal(4,2)")
+
+
+def _one() -> F.Column:
+    return F.lit(1).cast("decimal(3,2)")
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_scan_projected(spark, sf):
+    """Projected generic scan (ParquetReader.projectedGeneric,
+    /root/reference/core/.../ParquetReader.scala:283-319)."""
+    return _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+
+
+def q_scan_filtered(spark, sf):
+    """Filtered scan with parquet pushdown (Filter.scala:100-143)."""
+    li = _t(spark, sf, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_discount") > F.lit(0.05))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+def q_filter_in(spark, sf):
+    """In-set predicate (parquet4s `in` UDP, Filter.scala:148-159)."""
+    li = _t(spark, sf, "lineitem")
+    return li.where(F.col("l_returnflag").isin("A", "R")).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+def q_filter_null(spark, sf):
+    """isNull/isNotNull predicates (Filter.scala:173-181)."""
+    ev = _t(spark, sf, "events")
+    return ev.where(F.col("value").isNotNull() & (F.col("value") > 99.0)).select(
+        "event_id", "value"
+    )
+
+
+def q_record_filter(spark, sf):
+    """Row-ordinal RecordFilter (Filter.scala:15-53) as row_number."""
+    ev = _t(spark, sf, "events")
+    w = Window.orderBy("event_id")
+    return (
+        ev.withColumn("_ord", F.row_number().over(w) - 1)
+        .where((F.col("_ord") >= 100) & (F.col("_ord") < 200))
+        .select("event_id", "event_type")
+    )
+
+
+def q_join_inner(spark, sf):
+    """Broadcast inner join (etl/Join.scala:23-28)."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return inner_join(o, c, "o_custkey", "c_custkey").where(
+        F.col("o_totalprice") > 400000
+    ).select("o_orderkey", "c_name", "o_totalprice")
+
+
+def q_join_left(spark, sf):
+    """Left join with null padding (etl/Join.scala:9-14)."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        left_join(c, o, "c_custkey", "o_custkey")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_join_right(spark, sf):
+    """Right join leftovers (etl/Join.scala:16-21)."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return right_join(o, c, "o_custkey", "c_custkey").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+def q_join_full(spark, sf):
+    """Full outer join (etl/Join.scala:30-36)."""
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return full_join(n, r, "n_regionkey", "r_regionkey").select(
+        "n_name", "r_name"
+    )
+
+
+def q_concat(spark, sf):
+    """UNION ALL concat (ParquetIterable.scala:164-169)."""
+    li = _t(spark, sf, "lineitem")
+    a = li.where(F.col("l_linenumber") == 1).select("l_orderkey", "l_quantity")
+    b = li.where(F.col("l_linenumber") == 2).select("l_orderkey", "l_quantity")
+    return concat(a, b)
+
+
+def q_stats_count(spark, sf):
+    """Metadata count (Stats.recordCount, stats/FileStats.scala:30)."""
+    return _t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_stats_minmax(spark, sf):
+    """Footer-stats min/max (Stats.scala:34-58)."""
+    return _t(spark, sf, "lineitem").agg(
+        F.min("l_extendedprice").alias("mn_price"),
+        F.max("l_extendedprice").alias("mx_price"),
+        F.min("l_shipdate").alias("mn_date"),
+        F.max("l_shipdate").alias("mx_date"),
+    )
+
+
+def q_stats_filtered_minmax(spark, sf):
+    """Filtered stats with row-group skipping semantics
+    (stats/FilteredFileStats.scala:56-143)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .agg(
+            F.min("l_quantity").alias("mn_qty"),
+            F.max("l_quantity").alias("mx_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_stats_grouped(spark, sf):
+    """Partition-aware stats (stats/PartitionedFileStats.scala)."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.min("n_chars").alias("mn_chars"),
+            F.max("n_chars").alias("mx_chars"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def q_nested_json(spark, sf):
+    """Nested-field extraction + alias (ColumnPath projection,
+    ParquetReader.scala:283-319) over the JSON props column."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    ).where(F.col("k") > 50)
+
+
+def q_roundtrip_documents_sha(spark, sf):
+    """FLAGSHIP: full engine round trip. Encode documents with the
+    codec-autoselecting chunk encoder (grouped by lang, skew-salted),
+    decode, and emit per-row sha256 — byte-identity is the north_rule
+    invariant (ParquetWriterAndParquetReaderCompatibilityItSpec
+    semantics)."""
+    docs = _t(spark, sf, "documents")
+    enc = encode_table(docs, group_cols=["lang"], target_chunk_rows=4096)
+    dec = decode_table(enc, docs.schema)
+    return dec.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+
+
+def q_roundtrip_lineitem_q1(spark, sf):
+    """Engine round trip of a numeric/timestamp table, then TPC-H Q1
+    on the DECODED rows — proves non-string codecs are lossless."""
+    li = _t(spark, sf, "lineitem")
+    enc = encode_table(li, group_cols=["l_returnflag"], target_chunk_rows=1 << 14)
+    dec = decode_table(enc, li.schema)
+    return _q1_body(dec)
+
+
+def _q1_body(li: DataFrame) -> DataFrame:
+    # decimal precisions kept small so products stay exact (no Spark
+    # precision-loss rounding at the 38 cap)
+    disc_price = _dec("l_extendedprice") * (_one() - _rate("l_discount"))
+    charge = disc_price * (_one() + _rate("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q1(spark, sf):
+    """TPC-H Q1 pricing summary (decimal-exact, then double)."""
+    return _q1_body(_t(spark, sf, "lineitem"))
+
+
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3-style shipping priority (3-way join + agg)."""
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = _dec("l_extendedprice") * (_one() - _rate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_rollup_agg(spark, sf):
+    """ROLLUP aggregation (engine breadth beyond the reference)."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_topk_per_group(spark, sf):
+    """Top-3 per group via window (common OLAP pattern)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("event_type", "event_id", "rn")
+    )
+
+
+def q_window_running(spark, sf):
+    """Running sum per key (windowed aggregation, decimal-exact)."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+def q_sessionize(spark, sf):
+    """Sessionization: 30-minute inactivity gap splits sessions."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; route through timestamp (session TZ = UTC) to
+    # get fractional epoch seconds, matching DuckDB's epoch(ts)
+    ep = F.col("ts").cast("timestamp").cast("double")
+    gap = ep - F.lag(ep).over(w)
+    brk = F.when(gap > 1800, 1).otherwise(0)
+    return (
+        ev.withColumn("_brk", brk)
+        .groupBy("user_id")
+        .agg((F.sum("_brk") + 1).alias("n_sessions"))
+    )
+
+
+def q_dedup_exact_groups(spark, sf):
+    """Exact dedup lineage: (text_sha, keeper, n_copies)."""
+    return exact_dup_groups(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_dedup_exact_rows(spark, sf):
+    """Exact dedup: surviving rows."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_token_count(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def q_quality_score(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+def q_lang_id(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_doc_fingerprint(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+
+
+def q_ngram_jaccard_topk(spark, sf):
+    """Unigram Jaccard top-20 pairs among doc_id < 40 (exact, inverted
+    index join) — deterministic tiebreak (jaccard, a, b)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 40)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.0)
+    return (
+        pairs.select("a", "b", F.round(F.col("jaccard"), 6).alias("jac"))
+        .orderBy(F.col("jac").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+def q_ann_topk(spark, sf):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = brute_force_topk(emb, "vec_id", "embedding", list(q), k=10, exclude_id=0)
+    return top.select("vec_id")
+
+
+def q_minhash_dedup(spark, sf):
+    """MinHash+LSH near-dup pairs (rows-only check: LSH bucketing is
+    not ANSI-SQL-expressible)."""
+    return minhash_dedup_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", threshold=0.5
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard_est"))
+
+
+def q_simhash_dedup(spark, sf):
+    """SimHash near-dup pairs (rows-only: signature UDF)."""
+    return simhash_dedup_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=8
+    )
+
+
+def q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    return embedding_neardup_pairs(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.95
+    ).select("a", "b", F.round("cosine", 6).alias("cosine_r"))
+
+
+def q_encode_manifest_lineage(spark, sf):
+    """Manifest lineage metrics vs source truth: per-lang row count and
+    raw byte count recorded by the encoder (north_rule: per-partition
+    lineage + metrics)."""
+    docs = _t(spark, sf, "documents")
+    enc = encode_table(docs, group_cols=["lang"], target_chunk_rows=4096)
+    m = enc.where(F.col("column") == "text")
+    return (
+        m.select(
+            F.get_json_object(F.col("group_key"), "$[0]").alias("lang"),
+            "n_rows",
+            "raw_bytes",
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+        )
+    )
+
+
+QUERIES = {
+    "scan_projected": q_scan_projected,
+    "scan_filtered": q_scan_filtered,
+    "filter_in": q_filter_in,
+    "filter_null": q_filter_null,
+    "record_filter": q_record_filter,
+    "join_inner": q_join_inner,
+    "join_left": q_join_left,
+    "join_right": q_join_right,
+    "join_full": q_join_full,
+    "concat": q_concat,
+    "stats_count": q_stats_count,
+    "stats_minmax": q_stats_minmax,
+    "stats_filtered_minmax": q_stats_filtered_minmax,
+    "stats_grouped": q_stats_grouped,
+    "nested_json": q_nested_json,
+    "roundtrip_documents_sha": q_roundtrip_documents_sha,
+    "roundtrip_lineitem_q1": q_roundtrip_lineitem_q1,
+    "encode_manifest_lineage": q_encode_manifest_lineage,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "rollup_agg": q_rollup_agg,
+    "topk_per_group": q_topk_per_group,
+    "window_running": q_window_running,
+    "sessionize": q_sessionize,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_exact_rows": q_dedup_exact_rows,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ngram_jaccard_topk": q_ngram_jaccard_topk,
+    "ann_topk": q_ann_topk,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+
+# ---------------------------------------------------------------- oracles
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_TOKENS = "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+
+_QUALITY_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST({_TOKENS} AS DOUBLE) AS n_tokens,
+         (length(text) - length(replace(text, ' the ', ''))) / 5.0
+         + (length(text) - length(replace(text, ' and ', ''))) / 5.0
+         + (length(text) - length(replace(text, ' a ', ''))) / 3.0 AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       round(
+         least(n_chars / 500.0, 1.0) * 0.4
+         + (CASE WHEN n_tokens > 0
+                 AND (n_chars - (n_tokens - 1)) / n_tokens >= 3
+                 AND (n_chars - (n_tokens - 1)) / n_tokens <= 10
+                 THEN 1.0 ELSE 0.5 END) * 0.3
+         + (CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END) * 10 * 0.3,
+       6) AS quality
+FROM s
+"""
+
+_LANG_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    (length(text) - length(replace(text, ' the ', ''))) / 5.0
+      + (length(text) - length(replace(text, ' and ', ''))) / 5.0
+      + (length(text) - length(replace(text, ' of ', ''))) / 4.0 AS s_en,
+    (length(text) - length(replace(text, ' der ', ''))) / 5.0
+      + (length(text) - length(replace(text, ' und ', ''))) / 5.0
+      + (length(text) - length(replace(text, ' ist ', ''))) / 5.0 AS s_de,
+    (length(text) - length(replace(text, ' le ', ''))) / 4.0
+      + (length(text) - length(replace(text, ' la ', ''))) / 4.0
+      + (length(text) - length(replace(text, ' est ', ''))) / 5.0 AS s_fr,
+    (length(text) - length(replace(text, ' el ', ''))) / 4.0
+      + (length(text) - length(replace(text, ' los ', ''))) / 5.0
+      + (length(text) - length(replace(text, ' es ', ''))) / 4.0 AS s_es,
+    (length(text) - length(replace(text, '的', ''))) / 1.0
+      + (length(text) - length(replace(text, '是', ''))) / 1.0
+      + (length(text) - length(replace(text, '了', ''))) / 1.0 AS s_zh
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+    WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+    WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+    WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+    WHEN s_zh > 0 AND s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+    ELSE 'und'
+  END AS lang_pred
+FROM documents JOIN s USING (doc_id)
+"""
+
+_NGRAM_SQL = """
+WITH base AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS sh
+  FROM documents WHERE doc_id < 40
+), sized AS (
+  SELECT id, sh, len(sh) AS sz FROM base
+), inv AS (
+  SELECT id, sz, unnest(sh) AS tok FROM sized
+), inter AS (
+  SELECT l.id AS a, r.id AS b, count(*) AS i_cnt,
+         any_value(l.sz) AS sza, any_value(r.sz) AS szb
+  FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+  GROUP BY l.id, r.id
+)
+SELECT a, b, round(CAST(i_cnt AS DOUBLE) / (sza + szb - i_cnt), 6) AS jac
+FROM inter
+ORDER BY jac DESC, a, b
+LIMIT 20
+"""
+
+_ANN_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id AS vec_id,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+ORACLES = {
+    "scan_projected": "SELECT doc_id, lang, n_chars FROM documents",
+    "scan_filtered": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND l_discount > 0.05"
+    ),
+    "filter_in": (
+        "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem "
+        "WHERE l_returnflag IN ('A', 'R')"
+    ),
+    "filter_null": (
+        "SELECT event_id, value FROM events WHERE value IS NOT NULL AND value > 99.0"
+    ),
+    "record_filter": (
+        "SELECT event_id, event_type FROM ("
+        "  SELECT event_id, event_type, row_number() OVER (ORDER BY event_id) - 1 AS ord"
+        "  FROM events) t WHERE ord >= 100 AND ord < 200"
+    ),
+    "join_inner": (
+        "SELECT o_orderkey, c_name, o_totalprice FROM orders "
+        "JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 400000"
+    ),
+    "join_left": (
+        "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer "
+        "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey"
+    ),
+    "join_right": (
+        "SELECT c_custkey, o_orderkey FROM orders "
+        "RIGHT JOIN customer ON o_custkey = c_custkey"
+    ),
+    "join_full": (
+        "SELECT n_name, r_name FROM nation "
+        "FULL JOIN region ON n_regionkey = r_regionkey"
+    ),
+    "concat": (
+        "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_linenumber = 1 "
+        "UNION ALL "
+        "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_linenumber = 2"
+    ),
+    "stats_count": "SELECT count(*) AS n FROM lineitem",
+    "stats_minmax": (
+        "SELECT min(l_extendedprice) AS mn_price, max(l_extendedprice) AS mx_price, "
+        "min(l_shipdate) AS mn_date, max(l_shipdate) AS mx_date FROM lineitem"
+    ),
+    "stats_filtered_minmax": (
+        "SELECT min(l_quantity) AS mn_qty, max(l_quantity) AS mx_qty, count(*) AS n "
+        "FROM lineitem WHERE l_returnflag = 'R'"
+    ),
+    "stats_grouped": (
+        "SELECT lang, min(n_chars) AS mn_chars, max(n_chars) AS mx_chars, "
+        "count(*) AS n_docs FROM documents GROUP BY lang"
+    ),
+    "nested_json": (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+        "FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50"
+    ),
+    "roundtrip_documents_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
+    "roundtrip_lineitem_q1": _Q1_SQL,
+    "encode_manifest_lineage": (
+        "SELECT lang, count(*) AS n_rows, sum(strlen(text)) AS raw_bytes "
+        "FROM documents GROUP BY lang"
+    ),
+    "tpch_q1": _Q1_SQL,
+    "tpch_q3": (
+        "SELECT l_orderkey, o_orderdate, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue "
+        "FROM customer, orders, lineitem "
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+        "AND l_orderkey = o_orderkey "
+        "AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' "
+        "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
+        "GROUP BY l_orderkey, o_orderdate"
+    ),
+    "rollup_agg": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, "
+        "count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "topk_per_group": (
+        "SELECT event_type, event_id, rn FROM ("
+        "  SELECT event_type, event_id, row_number() OVER ("
+        "    PARTITION BY event_type ORDER BY value DESC, event_id) AS rn"
+        "  FROM events) t WHERE rn <= 3"
+    ),
+    "window_running": (
+        "SELECT user_id, event_id, CAST(sum(CAST(value AS DECIMAL(18,6))) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value "
+        "FROM events"
+    ),
+    "sessionize": (
+        "WITH g AS (SELECT user_id, "
+        "  CASE WHEN epoch(ts) - epoch(lag(ts) OVER ("
+        "    PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS brk "
+        "  FROM events) "
+        "SELECT user_id, sum(brk) + 1 AS n_sessions FROM g GROUP BY user_id"
+    ),
+    "dedup_exact_groups": (
+        "SELECT sha256(text) AS text_sha, min(doc_id) AS keeper, "
+        "count(*) AS n_copies FROM documents GROUP BY text"
+    ),
+    "dedup_exact_rows": (
+        "SELECT * FROM documents WHERE doc_id IN ("
+        "  SELECT min(doc_id) FROM documents GROUP BY text)"
+    ),
+    "token_count": f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents",
+    "quality_score": _QUALITY_SQL,
+    "lang_id": _LANG_SQL,
+    "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "ngram_jaccard_topk": _NGRAM_SQL,
+    "ann_topk": _ANN_SQL,
+    # minhash_dedup / simhash_dedup / embedding_neardup: rows-only
+    # (LSH bucketing + signature UDFs aren't ANSI-SQL-expressible)
+}
