@@ -1,0 +1,147 @@
+"""colcrush benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
+sec}, "sf", ...extras}. Extras report the engine's own numbers: encode
+throughput (GB/s of content bytes) on the synthetic source-code table
+(FIXTURES.md F1) and compression ratio vs Spark's parquet writer
+(snappy + dictionary — the parquet-mr oracle from BASELINE.md).
+
+Scaling runs (N vs 4N cores) are orchestrated by
+scripts/scaling_bench.py, which shells out to this file with
+SPARK_GRAFT_CPUS set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
+
+from colcrush.engine import encode_table
+from colcrush.engine.decoder import decode_table
+from colcrush.fixtures import source_code_df
+from colcrush.queries import QUERIES
+from colcrush.session import get_spark
+
+HEADLINE = [
+    "roundtrip_documents_sha",
+    "roundtrip_lineitem_q1",
+    "tpch_q1",
+    "tpch_q3",
+    "stats_grouped",
+    "dedup_exact_groups",
+    "minhash_dedup",
+    "simhash_dedup",
+    "ann_topk",
+    "token_count",
+    "quality_score",
+    "window_running",
+]
+
+
+def bench_encode(spark, n_rows: int, profile: str):
+    """Encode throughput + ratio on the deterministic source-code table."""
+    src = source_code_df(spark, n_rows, n_repos=50).cache()
+    content_bytes = src.agg(F.sum(F.octet_length("content"))).collect()[0][0]
+    total_raw = src.agg(
+        F.sum(
+            F.octet_length("content")
+            + F.octet_length("repo")
+            + F.octet_length("path")
+            + F.octet_length("commit")
+            + F.octet_length("lang")
+        )
+    ).collect()[0][0]
+
+    t0 = time.time()
+    enc = encode_table(
+        src, group_cols=["repo", "lang"], profile=profile
+    )
+    agg = enc.agg(
+        F.sum("enc_bytes").alias("enc"),
+        F.count(F.lit(1)).alias("chunk_cols"),
+    ).collect()[0]
+    encode_s = time.time() - t0
+    enc_bytes = int(agg["enc"])
+
+    # decode throughput
+    enc_cached = encode_table(src, group_cols=["repo", "lang"], profile=profile).cache()
+    enc_cached.count()
+    t0 = time.time()
+    dec = decode_table(enc_cached, src.schema)
+    n_dec = dec.count()
+    decode_s = time.time() - t0
+    enc_cached.unpersist()
+
+    # parquet-mr oracle size (snappy + dictionary, parquet4s defaults)
+    tmp = tempfile.mkdtemp(prefix="colcrush_bench_")
+    try:
+        pq_dir = os.path.join(tmp, "pq")
+        src.write.option("compression", "snappy").parquet(pq_dir)
+        pq_bytes = sum(
+            os.path.getsize(os.path.join(pq_dir, f))
+            for f in os.listdir(pq_dir)
+            if f.endswith(".parquet")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    src.unpersist()
+    assert n_dec == n_rows
+    return {
+        "encode_rows": n_rows,
+        "content_bytes": int(content_bytes),
+        "raw_bytes": int(total_raw),
+        "encoded_bytes": enc_bytes,
+        "parquet_snappy_bytes": int(pq_bytes),
+        "encode_sec": round(encode_s, 3),
+        "decode_sec": round(decode_s, 3),
+        "encode_gbps_content": round(content_bytes / encode_s / 1e9, 4),
+        "encode_gbps_raw": round(total_raw / encode_s / 1e9, 4),
+        "ratio_vs_raw": round(enc_bytes / total_raw, 4),
+        "ratio_vs_parquet_snappy": round(enc_bytes / pq_bytes, 4),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_rows = int(os.environ.get("COLCRUSH_BENCH_ROWS", "120000"))
+    profile = os.environ.get("COLCRUSH_PROFILE", "balanced")
+    spark = get_spark("colcrush-bench", cores=cpus, driver_memory="48g")
+
+    queries = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    enc = bench_encode(spark, n_rows, profile)
+
+    total = round(sum(queries.values()) + enc["encode_sec"], 3)
+    out = {
+        "metric": "headline_queries_plus_encode_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        **enc,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

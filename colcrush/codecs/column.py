@@ -170,12 +170,29 @@ def _dec_plain_fixed(payload: bytes, t: pa.DataType, n_valid: int, mask) -> pa.A
     return pa.array(full, mask=mask)
 
 
-def _enc_fsst(lengths: np.ndarray, blob: bytes, profile: str) -> bytes:
-    sample_cap = (1 << 23) if profile == "max" else (1 << 20)
-    max_symbols = 240 if profile == "max" else 200
-    sample = blob if len(blob) <= sample_cap else blob[:sample_cap]
-    table = fsst_mod.train(blob, sample=sample, max_symbols=max_symbols)
-    comp = fsst_mod.compress(blob, table)
+_FSST_PROFILE = {
+    # (sample_cap, max_symbols, min_count_frac)
+    "fast": (1 << 17, 96, 0.002),
+    "balanced": (1 << 18, 224, 0.0004),
+    "max": (1 << 22, 248, 0.0001),
+}
+
+
+def _enc_fsst(
+    lengths: np.ndarray,
+    blob: bytes,
+    profile: str,
+    table: list | None = None,
+    comp: bytes | None = None,
+) -> bytes:
+    if table is None:
+        cap, max_symbols, frac = _FSST_PROFILE.get(profile, _FSST_PROFILE["balanced"])
+        sample = blob if len(blob) <= cap else blob[:cap]
+        table = fsst_mod.train(
+            blob, sample=sample, max_symbols=max_symbols, min_count_frac=frac
+        )
+    if comp is None:
+        comp = fsst_mod.compress(blob, table)
     return (
         fsst_mod.serialize_table(table)
         + _blk(encode_ints_best(lengths))
@@ -302,9 +319,9 @@ def _choose(
         dict_est = _dict_estimate(nn) if allow_dict else None
         if dict_est is not None:
             candidates.append((dict_est, DICT))
-        fsst_est = None
-        if profile != "fast" and len(blob) >= 1024:
-            fsst_est = _fsst_estimate(lengths, blob)
+        fsst_table = fsst_comp = None
+        if len(blob) >= 1024:
+            fsst_est, fsst_table, fsst_comp = _fsst_estimate(lengths, blob, profile)
             if fsst_est is not None:
                 candidates.append((fsst_est, FSST))
         candidates.sort()
@@ -313,7 +330,7 @@ def _choose(
             return PLAIN_STR, _blk(len_enc) + _blk(blob), extra
         if codec == DICT:
             return DICT, *_enc_dict(nn, profile, extra)
-        payload = _enc_fsst(lengths, blob, profile)
+        payload = _enc_fsst(lengths, blob, profile, table=fsst_table, comp=fsst_comp)
         if len(payload) > plain_size:  # estimate was wrong — fall back
             return PLAIN_STR, _blk(len_enc) + _blk(blob), extra
         return FSST, payload, extra
@@ -374,15 +391,25 @@ def _dict_estimate(nn: pa.Array) -> int | None:
     return int(dict_bytes + n * idx_bits // 8 + 64)
 
 
-def _fsst_estimate(lengths: np.ndarray, blob: bytes) -> int | None:
-    cap = 1 << 18
-    sample = blob if len(blob) <= cap else blob[:cap]
-    table = fsst_mod.train(blob, sample=sample, max_symbols=128)
+def _fsst_estimate(
+    lengths: np.ndarray, blob: bytes, profile: str
+) -> tuple[int | None, list | None, bytes | None]:
+    """Train ONCE on a sample; return (size estimate, table, and —
+    when the sample is the whole blob — the compressed bytes). Both are
+    reused for the final encode so training/compression cost is paid
+    once per chunk."""
+    cap, max_symbols, frac = _FSST_PROFILE.get(profile, _FSST_PROFILE["balanced"])
+    full = len(blob) <= cap
+    sample = blob if full else blob[:cap]
+    table = fsst_mod.train(
+        blob, sample=sample, max_symbols=max_symbols, min_count_frac=frac
+    )
     if not table:
-        return None
+        return None, None, None
     comp = fsst_mod.compress(sample, table)
     ratio = len(comp) / max(1, len(sample))
-    return int(ratio * len(blob)) + 3 * len(table) + len(lengths) * 1 + 64
+    est = int(ratio * len(blob)) + 3 * len(table) + len(lengths) * 1 + 64
+    return est, table, (comp if full else None)
 
 
 def _enc_dict(nn: pa.Array, profile: str, extra: dict) -> tuple[bytes, dict]:

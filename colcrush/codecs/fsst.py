@@ -1,28 +1,29 @@
 """FSST-style symbol-table compression for string/binary blobs.
 
-From-scratch, vectorized variant of the symbol-table string
-compression FSST describes (Boncz, Neumann, Leis — "FSST: Fast Random
-Access String Compression", VLDB 2020, public): a table of multi-byte
-symbols replaces frequent substrings with 1-byte codes. We build the
-table by recursive pair substitution (Gage's byte-pair encoding, a
-public-domain technique): each round finds the most frequent byte
-*pair* in the corpus and replaces it with a currently-unused byte
-value. Because later rounds pair up earlier codes, symbols grow to
-arbitrary length, like FSST's 2..8-byte symbols. Unlike per-byte FSST
-encoding loops, every step here is a C-speed whole-corpus operation
-(``np.bincount`` + ``bytes.replace``), which is what makes this viable
-inside a Python worker at Spark scale.
+From-scratch, vectorized variant of symbol-table string compression in
+the spirit of FSST (Boncz, Neumann, Leis — "FSST: Fast Random Access
+String Compression", VLDB 2020, public): a table of multi-byte symbols
+replaces frequent substrings with 1-byte codes. The table is built by
+recursive pair substitution (Gage's byte-pair encoding, public domain):
+each round finds the most frequent byte *pair* and replaces it with a
+currently-unused byte value. Later rounds pair up earlier codes, so
+symbols grow to arbitrary length — including exponential collapse of
+long repeated runs (a pair of a code with itself doubles the covered
+span each round), which is what lets this codec compete with LZ-class
+compressors on templated text. Every step is a C-speed whole-corpus
+operation (``np.bincount`` + ``bytes.replace``) — no per-byte Python —
+which is what makes it viable inside a Spark worker.
 
 Correctness invariants:
 - replacement codes are byte values with ZERO occurrences in the
-  ORIGINAL corpus (so decode's reverse substitution is unambiguous);
-- a pair (x, y) with x == y is never chosen (overlapping matches would
-  make ``bytes.replace`` ambiguous); for x != y matches can't overlap.
+  ORIGINAL corpus, so decode's reverse substitution chain is exact;
+- ``bytes.replace`` is greedy left-to-right for overlapping matches
+  (e.g. 'YY' in 'YYY' replaces once), and the decode direction
+  (1 byte -> pair) can never overlap, so the chain inverts exactly.
 
-Plays the role of parquet-mr's string dictionary/plain fallback layer
-under parquet4s (/root/reference/core/src/main/scala/com/github/
-mjakubowski84/parquet4s/ParquetWriter.scala:79-84) for high-cardinality
-text where dictionaries lose.
+Plays the role of parquet-mr's string encoding layer under parquet4s
+(/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/ParquetWriter.scala:79-84)
+for high-cardinality text where dictionaries lose.
 """
 
 from __future__ import annotations
@@ -33,20 +34,22 @@ import numpy as np
 
 __all__ = ["train", "compress", "decompress"]
 
-_SELF_PAIRS = np.arange(256) * 257  # indices of (x, x) pairs in 256*x+y space
-
 
 def train(
     corpus: bytes,
     sample: bytes | None = None,
     max_symbols: int = 224,
     min_gain: int = 8,
+    min_count_frac: float = 0.0003,
 ) -> list[tuple[int, int, int]]:
     """Learn a substitution table [(code, x, y), ...] (application order).
 
     ``corpus`` is the FULL data the table will be applied to — free
-    codes must be computed on it. ``sample`` (default: corpus, capped)
-    is what pair counting runs on each round.
+    codes must be computed on it. ``sample`` (default: capped corpus
+    prefix) is what pair counting runs on each round.
+    ``min_count_frac`` bounds the pass count: a symbol must be expected
+    to replace at least that fraction of the sample's bytes, so cheap
+    tail symbols don't each cost a full-corpus pass.
     """
     if len(corpus) < 16:
         return []
@@ -57,6 +60,7 @@ def train(
     if sample is None:
         sample = corpus if len(corpus) <= (1 << 20) else corpus[: (1 << 20)]
     scale = max(1.0, len(corpus) / max(1, len(sample)))
+    floor = max(min_gain + 3, int(min_count_frac * len(sample)))
     table: list[tuple[int, int, int]] = []
     cur = sample
     for _ in range(min(max_symbols, len(free))):
@@ -65,33 +69,137 @@ def train(
             break
         pairs = arr[:-1].astype(np.uint32) * np.uint32(256) + arr[1:]
         pc = np.bincount(pairs, minlength=65536)
-        pc[_SELF_PAIRS] = 0
         best = int(pc.argmax())
         n = int(pc[best])
-        # each replacement saves 1 byte; table entry costs 3 bytes
-        if n * scale < min_gain + 3:
+        if n < floor or n * scale < min_gain + 3:
             break
         x, y = best >> 8, best & 0xFF
-        code = table_next_code(free)
-        if code is None:
-            break
+        code = free.pop(0)
         cur = cur.replace(bytes((x, y)), bytes((code,)))
         table.append((code, x, y))
     return table
 
 
-def table_next_code(free: list[int]) -> int | None:
-    return free.pop(0) if free else None
-
-
-def compress(corpus: bytes, table: list[tuple[int, int, int]]) -> bytes:
+def compress_sequential(corpus: bytes, table: list[tuple[int, int, int]]) -> bytes:
+    """Reference implementation: per-symbol bytes.replace chain."""
     cur = corpus
     for code, x, y in table:
         cur = cur.replace(bytes((x, y)), bytes((code,)))
     return cur
 
 
+def _levels(table: list[tuple[int, int, int]]) -> list[list[tuple[int, int, int]]]:
+    """Group symbols by dependency depth: a symbol whose pair components
+    are plain bytes is level 0; one referencing a code is one deeper.
+    Within a level no symbol can create or consume another's match, so
+    a whole level applies in ONE vectorized pass."""
+    depth: dict[int, int] = {}
+    levels: list[list[tuple[int, int, int]]] = []
+    for code, x, y in table:
+        d = max(depth.get(x, -1), depth.get(y, -1)) + 1
+        depth[code] = d
+        while len(levels) <= d:
+            levels.append([])
+        levels[d].append((code, x, y))
+    return levels
+
+
+_SEQ_HEAD = 16
+
+
+def compress(corpus: bytes, table: list[tuple[int, int, int]]) -> bytes:
+    """Hybrid encode. The top-``_SEQ_HEAD`` symbols (highest training
+    gain) apply sequentially via C-speed ``bytes.replace`` — they carry
+    most of the compression and shrink the corpus fast. The tail then
+    applies LEVEL-BATCHED: one vectorized numpy pass per dependency
+    level (~log(#symbols) passes instead of one per symbol). Any encode
+    strategy that emits valid codes decodes exactly (decode is pure
+    code->pair expansion), so batched greedy L2R matching is safe."""
+    if not table or len(corpus) < 2:
+        return corpus
+    head, tail = table[:_SEQ_HEAD], table[_SEQ_HEAD:]
+    corpus = compress_sequential(corpus, head)
+    table = tail
+    if not table or len(corpus) < 2:
+        return corpus
+    a = np.frombuffer(corpus, dtype=np.uint8)
+    lut = np.full(65536, -1, dtype=np.int32)
+    for lvl in _levels(table):
+        for code, x, y in lvl:
+            lut[(x << 8) | y] = code
+        # iterate to fixpoint: a replacement can create a new same-level
+        # match by making its neighbors adjacent; later iterations are
+        # cheap (the array shrinks and usually converges in 2-3 rounds)
+        for _ in range(8):
+            if len(a) < 2:
+                break
+            before = len(a)
+            a = _apply_level(a, lut)
+            if len(a) == before:
+                break
+        for code, x, y in lvl:  # reset for next level
+            lut[(x << 8) | y] = -1
+    return a.tobytes()
+
+
+def _apply_level(a: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    pair16 = (a[:-1].astype(np.uint32) << np.uint32(8)) | a[1:]
+    codes = lut[pair16]
+    idx = np.flatnonzero(codes >= 0)
+    if len(idx) == 0:
+        return a
+    # greedy left-to-right overlap resolution: 2-byte matches overlap
+    # only at consecutive positions; within each run of consecutive
+    # match positions keep even offsets
+    new_run = np.empty(len(idx), dtype=bool)
+    new_run[0] = True
+    np.not_equal(idx[1:], idx[:-1] + 1, out=new_run[1:])
+    run_starts = idx[new_run]
+    run_id = np.cumsum(new_run) - 1
+    keep = ((idx - run_starts[run_id]) & 1) == 0
+    kept = idx[keep]
+    out = a.copy()
+    out[kept] = codes[kept].astype(np.uint8)
+    drop = np.zeros(len(a), dtype=bool)
+    drop[kept + 1] = True
+    return out[~drop]
+
+
+def _expansions(table: list[tuple[int, int, int]]):
+    """Full byte expansion of every possible byte value."""
+    exp: dict[int, bytes] = {}
+    for code, x, y in table:
+        ex = exp.get(x, bytes((x,)))
+        ey = exp.get(y, bytes((y,)))
+        exp[code] = ex + ey
+    flat = bytearray()
+    starts = np.zeros(256, dtype=np.int64)
+    lens = np.zeros(256, dtype=np.int64)
+    for b in range(256):
+        e = exp.get(b, bytes((b,)))
+        starts[b] = len(flat)
+        lens[b] = len(e)
+        flat.extend(e)
+    return np.frombuffer(bytes(flat), dtype=np.uint8), starts, lens
+
+
 def decompress(data: bytes, table: list[tuple[int, int, int]]) -> bytes:
+    """Single-pass vectorized decode: gather each byte's (precomputed,
+    recursive) expansion from a flat table."""
+    if not table or not data:
+        return data
+    flat, starts, lens = _expansions(table)
+    a = np.frombuffer(data, dtype=np.uint8)
+    l = lens[a]
+    total = int(l.sum())
+    offs = np.zeros(len(a), dtype=np.int64)
+    np.cumsum(l[:-1], out=offs[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offs, l)
+    out = flat[np.repeat(starts[a], l) + pos]
+    return out.tobytes()
+
+
+def decompress_sequential(data: bytes, table: list[tuple[int, int, int]]) -> bytes:
     cur = data
     for code, x, y in reversed(table):
         cur = cur.replace(bytes((code,)), bytes((x, y)))

@@ -152,10 +152,20 @@ def source_code_batch(
         if i == 5:
             contents.append("y" * 8192)  # very long single line
             continue
-        snippet = _TEMPLATES[lang].format(stem=str(stem[j]), k=int(kvar[j]), num=int(num[j]))
-        reps = max(1, int(target_len[j]) // max(1, len(snippet)))
-        body = _HEADER[lang] + snippet * reps
-        contents.append(body)
+        # realistic file body: many *different* functions sharing the
+        # language's boilerplate structure (cross-file repetition for the
+        # symbol table, no verbatim within-file duplication)
+        tmpl = _TEMPLATES[lang]
+        st = str(stem[j])
+        k0, n0 = int(kvar[j]), int(num[j])
+        probe = tmpl.format(stem=st, k=k0, num=n0)
+        reps = max(1, int(target_len[j]) // max(1, len(probe)))
+        parts_body = [_HEADER[lang]]
+        for r in range(reps):
+            parts_body.append(
+                tmpl.format(stem=st, k=(k0 + r) % 97, num=(n0 + 17 * r) % 100000)
+            )
+        contents.append("".join(parts_body))
 
     return pa.record_batch(
         [
