@@ -82,18 +82,25 @@ def bench_encode(spark, n_rows: int, profile: str):
     decode_s = time.time() - t0
     enc_cached.unpersist()
 
-    # parquet-mr oracle size (snappy + dictionary, parquet4s defaults)
+    # parquet-mr oracle sizes. The parquet4s-default reference is
+    # dictionary-enabled parquet with the parquet-mr DEFAULT codec =
+    # UNCOMPRESSED (/root/reference/core/src/main/scala/com/github/
+    # mjakubowski84/parquet4s/ParquetWriter.scala:79-84); snappy is
+    # reported as a stretch reference.
     tmp = tempfile.mkdtemp(prefix="colcrush_bench_")
+    pq_sizes = {}
     try:
-        pq_dir = os.path.join(tmp, "pq")
-        src.write.option("compression", "snappy").parquet(pq_dir)
-        pq_bytes = sum(
-            os.path.getsize(os.path.join(pq_dir, f))
-            for f in os.listdir(pq_dir)
-            if f.endswith(".parquet")
-        )
+        for codec in ("uncompressed", "snappy"):
+            pq_dir = os.path.join(tmp, f"pq_{codec}")
+            src.write.option("compression", codec).parquet(pq_dir)
+            pq_sizes[codec] = sum(
+                os.path.getsize(os.path.join(pq_dir, f))
+                for f in os.listdir(pq_dir)
+                if f.endswith(".parquet")
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    pq_bytes = pq_sizes["snappy"]
 
     src.unpersist()
     assert n_dec == n_rows
@@ -102,12 +109,14 @@ def bench_encode(spark, n_rows: int, profile: str):
         "content_bytes": int(content_bytes),
         "raw_bytes": int(total_raw),
         "encoded_bytes": enc_bytes,
+        "parquet_none_bytes": int(pq_sizes["uncompressed"]),
         "parquet_snappy_bytes": int(pq_bytes),
         "encode_sec": round(encode_s, 3),
         "decode_sec": round(decode_s, 3),
         "encode_gbps_content": round(content_bytes / encode_s / 1e9, 4),
         "encode_gbps_raw": round(total_raw / encode_s / 1e9, 4),
         "ratio_vs_raw": round(enc_bytes / total_raw, 4),
+        "ratio_vs_parquet_none": round(enc_bytes / pq_sizes["uncompressed"], 4),
         "ratio_vs_parquet_snappy": round(enc_bytes / pq_bytes, 4),
     }
 

@@ -91,6 +91,7 @@ def decode_table(
     pruned = pruned.repartition(n_parts, "chunk_id")
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pa.set_cpu_count(1)  # executor runs one worker per core already
         pending: dict[str, dict[str, bytes]] = {}
         for batch in it:
             cids = batch.column("chunk_id").to_pylist()

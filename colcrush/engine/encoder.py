@@ -136,6 +136,10 @@ def _make_encode_fn(
     and at size caps."""
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # one arrow thread per worker: the executor already runs one
+        # worker per core; arrow's own pool (default = all cores) would
+        # oversubscribe 32x and destroy scaling
+        pa.set_cpu_count(1)
         buf: list[pa.RecordBatch] = []
         buf_bytes = 0
         buf_rows = 0
@@ -154,7 +158,9 @@ def _make_encode_fn(
 
         for batch in it:
             salts = batch.column(salt_col).to_numpy()
-            data = batch.select([c for c in batch.schema.names if c != salt_col])
+            data = batch.select(
+                [c for c in batch.schema.names if c not in (salt_col, "__sortkey")]
+            )
             key_change = np.zeros(batch.num_rows, dtype=bool)
             if group_cols:
                 # vectorized group/salt boundary detection
@@ -235,7 +241,7 @@ def encode_table(
     range_cols: Iterable[str] | None = None,
     target_chunk_bytes: int = 8 << 20,
     target_chunk_rows: int = 1 << 16,
-    target_group_bytes: int = 64 << 20,
+    target_group_bytes: int = 16 << 20,
     profile: str = "balanced",
     num_partitions: int | None = None,
     salted: bool = True,
@@ -261,38 +267,42 @@ def encode_table(
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
     salt_col = "__salt"
+    key_col = "__sortkey"
+    # deterministic total-ish order WITHOUT comparing multi-KB strings in
+    # the sorter: one 8-byte hash of the sort columns (collisions only
+    # swap near-identical rows inside one group — chunk content unaffected)
+    sort_key = F.xxhash64(*[F.col(c) for c in (sort_cols or df.columns)])
     if group_cols:
         if salted:
             salts = plan_salts(df, group_cols, target_group_bytes)
             df = df.join(F.broadcast(salts), on=group_cols, how="left")
-            hash_cols = sort_cols or df.columns
+            df = df.withColumn(key_col, sort_key)
             df = df.withColumn(
                 salt_col,
                 F.pmod(
-                    F.xxhash64(*[F.col(c) for c in hash_cols]),
-                    F.coalesce(F.col("_n_salts"), F.lit(1)),
+                    F.col(key_col), F.coalesce(F.col("_n_salts"), F.lit(1))
                 ).cast("int"),
             ).drop("_n_salts")
         else:
+            df = df.withColumn(key_col, sort_key)
             df = df.withColumn(salt_col, F.lit(0).cast("int"))
         df = df.repartition(num_partitions, *group_cols, salt_col)
-        df = df.sortWithinPartitions(*(group_cols + [salt_col] + sort_cols))
+        df = df.sortWithinPartitions(*(group_cols + [salt_col, key_col]))
     elif range_cols:
+        df = df.withColumn(key_col, F.lit(0).cast("long"))
         df = df.repartitionByRange(num_partitions, *range_cols)
         df = df.sortWithinPartitions(*range_cols)
         df = df.withColumn(salt_col, F.spark_partition_id().cast("int"))
     else:
         # ungrouped: deterministic pseudo-groups via row hash so chunk ids
         # are unique and independent of the partition count
+        df = df.withColumn(key_col, sort_key)
         df = df.withColumn(
             salt_col,
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in df.columns]),
-                F.lit(num_partitions),
-            ).cast("int"),
+            F.pmod(F.col(key_col), F.lit(num_partitions)).cast("int"),
         )
         df = df.repartition(num_partitions, salt_col)
-        df = df.sortWithinPartitions(salt_col, *sort_cols)
+        df = df.sortWithinPartitions(salt_col, key_col)
 
     fn = _make_encode_fn(
         group_cols, target_chunk_bytes, target_chunk_rows, profile, salt_col

@@ -75,11 +75,13 @@ def minhash_signatures(
     per seed, min over murmur3(shingle, seed)."""
     sh = _shingles(text_col, shingle_n).alias("_sh")
     base = df.select(F.col(id_col), sh)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sh"), lambda s: F.hash(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    # one nested higher-order expression (seed array -> min over shingle
+    # hashes) instead of num_hashes separate exprs: same semantics,
+    # ~num_hashes x smaller Catalyst plan / codegen
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(F.col("_sh"), lambda t: F.hash(t, s))),
     ).alias("sig")
     return base.select(F.col(id_col), sig)
 

@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the Catalyst behaviors SURVEY.md §4 relies
+on must actually appear in the plans (pushdown, pruning, broadcast,
+codegen, bounded shuffle count). These are the scale guarantees — a
+plan that reads all columns or shuffles twice is a 100 TB bug even if
+the small-SF result is right."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from colcrush.engine import encode_table
+from colcrush.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    spark = df.sparkSession
+    jvm = spark._sc._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = _plan(QUERIES["scan_filtered"](spark, SF))
+    assert "PushedFilters" in p
+    assert "GreaterThan(l_discount,0.05)" in p
+
+
+def test_column_pruning(spark):
+    p = _plan(QUERIES["scan_projected"](spark, SF))
+    # scan must read only the 3 projected columns
+    assert "doc_id" in p and "n_chars" in p
+    assert "text" not in p, "projection leaked the heavy text column into the scan"
+
+
+def test_in_filter_pushdown(spark):
+    p = _plan(QUERIES["filter_in"](spark, SF))
+    assert "In(l_returnflag" in p
+
+
+def test_joins_are_broadcast(spark):
+    for q in ("join_inner", "tpch_q3"):
+        p = _plan(QUERIES[q](spark, SF))
+        assert "BroadcastHashJoin" in p, f"{q} did not broadcast"
+
+
+def test_q1_whole_stage_codegen(spark):
+    p = _plan(QUERIES["tpch_q1"](spark, SF))
+    assert "WholeStageCodegen" in p
+
+
+def test_encode_single_shuffle(spark):
+    """encode_table must shuffle exactly once for the data path (the
+    salt-plan aggregation is a separate tiny stage on its own subtree,
+    exchanged via broadcast)."""
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    enc = encode_table(df, group_cols=["lang"])
+    p = enc._jdf.queryExecution().executedPlan().toString()
+    # count shuffle exchanges that are NOT broadcast exchanges
+    shuffles = p.count("Exchange hashpartitioning")
+    assert shuffles == 1, f"expected 1 data shuffle, plan had {shuffles}:\n{p[:2000]}"
+    assert "BroadcastExchange" in p  # the salt plan joins via broadcast
+
+
+def test_salted_encode_splits_mega_group(spark):
+    """Skew fix: a dominant group must land in >1 salt (FIXTURES.md F4a)."""
+    from colcrush.fixtures import source_code_df
+
+    src = source_code_df(spark, 3000, n_repos=10)
+    enc = encode_table(
+        src,
+        group_cols=["repo", "lang"],
+        target_group_bytes=1 << 20,  # 1 MB -> mega-repo must split
+        target_chunk_bytes=1 << 19,
+    )
+    per_group = (
+        enc.where(F.col("column") == "content")
+        .groupBy("group_key")
+        .agg(F.countDistinct("salt").alias("n_salts"), F.sum("raw_bytes").alias("b"))
+        .collect()
+    )
+    biggest = max(per_group, key=lambda r: r["b"])
+    assert biggest["n_salts"] > 1, "mega group was not salted"
+    small = [r for r in per_group if r["b"] < (1 << 20)]
+    assert all(r["n_salts"] == 1 for r in small), "tiny groups should not salt"
