@@ -50,10 +50,32 @@ _STAT_TRUNC = 64
 
 
 def _stat_str(v) -> str | None:
+    """Lower bound: plain truncation keeps min_s <= actual min."""
     if v is None:
         return None
     s = v if isinstance(v, str) else str(v)
     return s[:_STAT_TRUNC]
+
+
+def _stat_str_max(v) -> str | None:
+    """Upper bound: truncate-and-increment (parquet's trick) so
+    max_s >= actual max even after truncation; None if unbounded."""
+    if v is None:
+        return None
+    s = v if isinstance(v, str) else str(v)
+    if len(s) <= _STAT_TRUNC:
+        return s
+    t = list(s[:_STAT_TRUNC])
+    for i in range(len(t) - 1, -1, -1):
+        cp = ord(t[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:  # skip surrogate range
+                nxt = 0xE000
+            t[i] = chr(nxt)
+            return "".join(t[: i + 1])
+        # overflow: drop this char, increment the previous one
+    return None  # every char was U+10FFFF — no finite upper bound
 
 
 def _stat_num(v) -> float | None:
@@ -97,7 +119,7 @@ def _encode_chunk(
         rows["enc_bytes"].append(meta["enc_bytes"])
         rows["dict_size"].append(meta["dict_size"])
         rows["min_s"].append(_stat_str(meta["min"]))
-        rows["max_s"].append(_stat_str(meta["max"]))
+        rows["max_s"].append(_stat_str_max(meta["max"]))
         rows["min_d"].append(_stat_num(meta["min"]))
         rows["max_d"].append(_stat_num(meta["max"]))
         rows["payload"].append(blob)

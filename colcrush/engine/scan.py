@@ -59,30 +59,37 @@ def _chunk_survives(filt: tuple) -> "F.Column":
     encode time, so string range checks are conservative by design.
     """
     col, op, val = (filt + (None,))[:3]
-    mn_d, mx_d = F.col("min_d"), F.col("max_d")
-    numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
     if op == "is_null":
         return F.col("n_nulls") > 0
     if op == "not_null":
         return F.col("n_rows") > F.col("n_nulls")
-    if not numeric:
-        return F.lit(True)  # strings: stats truncated -> keep (conservative)
-    lit = F.lit(float(val))
-    have = mn_d.isNotNull() & mx_d.isNotNull()
-    if op in ("==",):
-        keep = (mn_d <= lit) & (mx_d >= lit)
+    if isinstance(val, (int, float)) and not isinstance(val, bool):
+        mn, mx = F.col("min_d"), F.col("max_d")
+        lit = lambda v: F.lit(float(v))  # noqa: E731
+    elif isinstance(val, str) or (
+        isinstance(val, (list, tuple, set)) and all(isinstance(v, str) for v in val)
+    ):
+        # string stats: min_s is a truncated lower bound, max_s a
+        # truncate-and-increment upper bound — range checks stay sound
+        mn, mx = F.col("min_s"), F.col("max_s")
+        lit = F.lit
+    else:
+        return F.lit(True)
+    have = mn.isNotNull() & mx.isNotNull()
+    if op == "==":
+        keep = (mn <= lit(val)) & (mx >= lit(val))
     elif op == "<":
-        keep = mn_d < lit
+        keep = mn < lit(val)
     elif op == "<=":
-        keep = mn_d <= lit
+        keep = mn <= lit(val)
     elif op == ">":
-        keep = mx_d > lit
+        keep = mx > lit(val)
     elif op == ">=":
-        keep = mx_d >= lit
+        keep = mx >= lit(val)
     elif op == "in":
         keep = F.lit(False)
         for v in val if isinstance(val, (list, tuple, set)) else [val]:
-            keep = keep | ((mn_d <= F.lit(float(v))) & (mx_d >= F.lit(float(v))))
+            keep = keep | ((mn <= lit(v)) & (mx >= lit(v)))
     else:  # != and anything else: can't prune via range
         return F.lit(True)
     return F.when(have, keep).otherwise(F.lit(True))
