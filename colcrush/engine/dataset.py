@@ -61,19 +61,23 @@ def write_encoded(
     manifest_path = os.path.join(path, MANIFEST_DIR)
     if mode == "error" and os.path.exists(chunks_path):
         raise FileExistsError(f"{path} already contains an encoded dataset")
-    encoded = encode_table(df, **encode_kwargs)
-    _write_schema(path, df.schema)
-    write_mode = "overwrite" if mode == "overwrite" else "append"
-    (
-        encoded.write.mode(write_mode)
-        .option("compression", "uncompressed")
-        .parquet(chunks_path)
-    )
-    spark = df.sparkSession
-    # manifest = full payload-pruned re-scan of chunks (column pruning makes
-    # this cheap); always overwritten so it exactly reflects committed chunks
-    manifest = spark.read.parquet(chunks_path).select(*MANIFEST_COLS)
-    manifest.write.mode("overwrite").parquet(manifest_path)
+    encoded = encode_table(df, **encode_kwargs).persist()
+    try:
+        _write_schema(path, df.schema)
+        write_mode = "overwrite" if mode == "overwrite" else "append"
+        (
+            encoded.write.mode(write_mode)
+            .option("compression", "uncompressed")
+            .parquet(chunks_path)
+        )
+        # manifest rows come from the SAME persisted plan (encode runs
+        # once; no chunk re-scan) and commit strictly after the chunks —
+        # in append mode only the new rows are appended, so the manifest
+        # write cost stays proportional to the increment at 100 TB
+        manifest = encoded.select(*MANIFEST_COLS)
+        manifest.write.mode(write_mode).parquet(manifest_path)
+    finally:
+        encoded.unpersist()
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
