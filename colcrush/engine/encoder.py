@@ -229,6 +229,24 @@ def _make_encode_fn(
     return fn
 
 
+def _contains_map(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _hashable_cols(df: DataFrame, cols: list[str]) -> list[str]:
+    """Columns usable in xxhash64 (Spark forbids hashing MAP types)."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    return [c for c in cols if c in types and not _contains_map(types[c])]
+
+
 def plan_salts(
     df: DataFrame,
     group_cols: list[str],
@@ -293,7 +311,11 @@ def encode_table(
     # deterministic total-ish order WITHOUT comparing multi-KB strings in
     # the sorter: one 8-byte hash of the sort columns (collisions only
     # swap near-identical rows inside one group — chunk content unaffected)
-    sort_key = F.xxhash64(*[F.col(c) for c in (sort_cols or df.columns)])
+    hashable = _hashable_cols(df, sort_cols or df.columns)
+    if hashable:
+        sort_key = F.xxhash64(*[F.col(c) for c in hashable])
+    else:  # only map-typed columns: no deterministic hash available
+        sort_key = F.lit(0).cast("long")
     if group_cols:
         if salted:
             salts = plan_salts(df, group_cols, target_group_bytes)

@@ -184,3 +184,27 @@ def pruned_chunk_count(
         )
         alive = alive.join(cond_df, on="chunk_id", how="left_semi")
     return alive.count(), total
+
+
+def scan_udp(
+    spark: SparkSession,
+    path: str,
+    chunk_keep,
+    row_condition,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """User-defined-predicate scan — the parquet4s UDP contract
+    (/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/UDP.scala:17-51):
+    ``chunk_keep`` is a Column over manifest stats rows (column, n_rows,
+    n_nulls, min_s/max_s, min_d/max_d) deciding whether a chunk MIGHT
+    match (the inverse of canDrop); ``row_condition`` is the exact
+    per-row Column applied after decode (keep). Chunks failing
+    chunk_keep for ANY stats row are skipped without payload I/O."""
+    schema = read_schema(path)
+    manifest = read_manifest(spark, path)
+    dropped = manifest.where(~chunk_keep).select("chunk_id").distinct()
+    chunks = read_chunks(spark, path).join(
+        F.broadcast(dropped), on="chunk_id", how="left_anti"
+    )
+    decoded = decode_table(chunks, schema, columns=columns)
+    return decoded.where(row_condition)

@@ -98,3 +98,20 @@ def write_partitioned(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.partitionBy(*partition_cols).parquet(path)
+
+
+def read_custom(spark: SparkSession, fmt: str, path: str | None = None, **options) -> DataFrame:
+    """Custom reader passthrough — ParquetReader.custom[T](builder)
+    parity (ParquetReader.scala:328-333): any DataSource V2 format with
+    arbitrary options flows through Spark's reader builder."""
+    reader = spark.read.format(fmt).options(**options)
+    return reader.load(path) if path else reader.load()
+
+
+def write_single_file(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Single-file sink — akka/fs2 SingleFileParquetSink parity
+    (/root/reference/akkaPekko/src/main/scala/com/github/mjakubowski84/parquet4s/SingleFileParquetSink.scala:109-138):
+    coalesce(1) serializes the write into one part-file. Scale note:
+    this is inherently single-task by definition — use partitioned
+    writes for anything big."""
+    df.coalesce(1).write.mode(mode).parquet(path)
