@@ -93,22 +93,21 @@ def minhash_candidate_pairs(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidates.
-    Returns distinct (a, b) with a < b."""
-    pieces = []
-    for b in range(bands):
-        band = F.hash(
-            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-        )
-        pieces.append(
-            sigs.select(
-                F.col(id_col).alias("_id"),
-                F.lit(b).alias("_band"),
-                band.alias("_bh"),
-            )
-        )
-    buckets = pieces[0]
-    for p in pieces[1:]:
-        buckets = buckets.unionByName(p)
+    Returns distinct (a, b) with a < b.
+
+    One posexplode (NOT a bands-way union: each union branch would
+    re-evaluate the whole signature plan) -> self-equi-join on
+    (band, bucket hash) that Catalyst shuffles once per side."""
+    band_hashes = F.array(
+        *[
+            F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(band_hashes).alias("_band", "_bh"),
+    )
     l = buckets.alias("l")
     r = buckets.alias("r")
     return (
@@ -136,7 +135,10 @@ def minhash_dedup_pairs(
     threshold: MinHash -> LSH banding -> signature-level verification.
     The signature agreement fraction is the Jaccard estimate."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # materialize signatures once: they feed the bucket join (2 sides)
+    # and the verification join (2 sides) — without this the whole
+    # shingle+minhash plan would re-run per branch
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).localCheckpoint()
     cands = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sl = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("_sa"))
     sr = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("_sb"))
@@ -158,28 +160,25 @@ _SIMHASH_OUT = T.LongType()
 def _simhash64(tokens: pd.Series) -> pd.Series:
     """Vectorized 64-bit SimHash over token arrays (Arrow-batched)."""
     out = np.zeros(len(tokens), dtype=np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     for i, toks in enumerate(tokens):
         if toks is None or len(toks) == 0:
             continue
-        hs = np.array(
-            [hash64(t) for t in toks], dtype=np.uint64
+        hs = np.fromiter(
+            (hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
         votes = bits.sum(axis=0) * 2 - len(hs)
-        sim = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            sim |= np.uint64(1) << np.uint64(b)
-        out[i] = sim
+        out[i] = (weights[votes > 0]).sum(dtype=np.uint64)
     return pd.Series(out.view(np.int64))
 
 
 def hash64(s: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a, public domain)."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Deterministic 64-bit string hash (md5 prefix — C speed per
+    token, stable across processes unlike Python's builtin hash)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -193,21 +192,18 @@ def simhash_dedup_pairs(
     """Near-dup pairs by SimHash: 4x16-bit segment blocking (a pair
     within hamming<=3 must agree on >=1 of 4 segments), exact popcount
     verify via bit_count(xor) — all JVM-side after the signature UDF."""
-    sigs = simhash_signatures(df, id_col, text_col)
-    pieces = []
-    for seg in range(4):
-        key = F.shiftrightunsigned(F.col("simhash"), seg * 16).bitwiseAND(F.lit(0xFFFF))
-        pieces.append(
-            sigs.select(
-                F.col(id_col).alias("_id"),
-                F.col("simhash").alias("_sh"),
-                F.lit(seg).alias("_seg"),
-                key.alias("_key"),
-            )
-        )
-    buckets = pieces[0]
-    for p in pieces[1:]:
-        buckets = buckets.unionByName(p)
+    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint()
+    seg_keys = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), seg * 16).bitwiseAND(F.lit(0xFFFF))
+            for seg in range(4)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash").alias("_sh"),
+        F.posexplode(seg_keys).alias("_seg", "_key"),
+    )
     l, r = buckets.alias("l"), buckets.alias("r")
     cands = (
         l.join(
@@ -244,7 +240,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
         sh.alias("_sh"),
-    ).withColumn("_sz", F.size("_sh"))
+    ).withColumn("_sz", F.size("_sh")).localCheckpoint()
     inv = base.select(
         "_id", "_sz", *( ["_blk"] if block_col else [] ), F.explode("_sh").alias("_tok")
     )
