@@ -43,6 +43,7 @@ PLAIN_STR = 2
 DICT = 3
 FSST = 4
 IPC = 5
+FLOAT_INT = 6
 
 CODEC_NAMES = {
     PLAIN_FIXED: "plain",
@@ -51,6 +52,7 @@ CODEC_NAMES = {
     DICT: "dict",
     FSST: "fsst",
     IPC: "ipc",
+    FLOAT_INT: "float_int",
 }
 
 # ------------------------------------------------------------------ helpers
@@ -350,7 +352,12 @@ def _choose(
 
     # floats
     plain = _enc_plain_fixed(nn)
-    if force == PLAIN_FIXED or not allow_dict:
+    if force == PLAIN_FIXED:
+        return PLAIN_FIXED, plain, extra
+    fi = _enc_float_int(nn)
+    if fi is not None and len(fi) < len(plain):
+        return FLOAT_INT, fi, extra
+    if not allow_dict:
         return PLAIN_FIXED, plain, extra
     dict_est = _dict_estimate(nn)
     if dict_est is not None and dict_est < len(plain):
@@ -359,6 +366,61 @@ def _choose(
             extra.update(dextra)
             return DICT, dict_payload, extra
     return PLAIN_FIXED, plain, extra
+
+
+_FLOAT_SCALES = (1, 10, 100, 1000, 10000)
+
+
+def _enc_float_int(nn: pa.Array) -> bytes | None:
+    """Decimals-in-doubles codec: if every value times a small power of
+    ten is an integer AND dividing back reproduces the exact bits, store
+    the integers (FOR/RLE/delta-packed) + the scale. Catches the
+    overwhelmingly common money/quantity columns at a fraction of 8
+    bytes/row; bitwise verification keeps the round trip exact (-0.0,
+    NaN, and true reals all fall through to plain)."""
+    t = nn.type
+    is32 = pa.types.is_float32(t)
+    v = nn.to_numpy(zero_copy_only=False)
+    v64 = v.astype(np.float64)
+    if len(v64) == 0 or not np.all(np.isfinite(v64)):
+        return None
+    for scale in _FLOAT_SCALES:
+        with np.errstate(over="ignore", invalid="ignore"):
+            m = np.round(v64 * scale)
+            if np.any(np.abs(m) >= 2**62):
+                return None  # larger scales only grow magnitude
+            # verify with EXACTLY the decoder's computation (int64 m),
+            # so e.g. -0.0 falls through instead of decoding as +0.0
+            m = m.astype(np.int64)
+            back = m.astype(np.float64) / scale
+        if is32:
+            ok = np.array_equal(
+                back.astype(np.float32).view(np.uint32), v.view(np.uint32)
+            )
+        else:
+            ok = np.array_equal(back.view(np.uint64), v64.view(np.uint64))
+        if ok:
+            ints = encode_ints_best(m)
+            return struct.pack("<Bq", 1 if is32 else 0, scale) + ints
+    return None
+
+
+def _dec_float_int(payload: bytes, mask) -> pa.Array:
+    is32, scale = struct.unpack_from("<Bq", payload, 0)
+    m = decode_ints(payload[9:])
+    back = m.astype(np.float64) / scale
+    if is32:
+        values = back.astype(np.float32)
+        dtype = np.float32
+    else:
+        values = back
+        dtype = np.float64
+    if mask is not None:
+        full = np.zeros(len(mask), dtype=dtype)
+        full[~mask] = values
+    else:
+        full = values
+    return pa.array(full, mask=mask)
 
 
 def _encode_str_forced(force, nn, lengths, blob, profile, extra):
@@ -472,6 +534,8 @@ def decode_array(blob: bytes) -> pa.Array:
 
     if codec_id == PLAIN_FIXED:
         return _dec_plain_fixed(payload, t, n_valid, mask)
+    if codec_id == FLOAT_INT:
+        return _dec_float_int(payload, mask)
     if codec_id == INTS:
         return _int_restore(decode_ints(payload), t, mask)
     if codec_id == PLAIN_STR:
