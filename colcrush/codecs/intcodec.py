@@ -63,7 +63,10 @@ def encode_forbp(values: np.ndarray) -> bytes | None:
 
 
 def _zigzag(d: np.ndarray) -> np.ndarray:
-    return ((d << 1) ^ (d >> 63)).astype(np.uint64)
+    # compute in uint64 domain: wrapping shifts are the intended mod-2^64
+    u = d.view(np.uint64)
+    sign = (d >> 63).view(np.uint64)
+    return (u << np.uint64(1)) ^ sign
 
 
 def _unzigzag(u: np.ndarray) -> np.ndarray:
@@ -81,13 +84,13 @@ def encode_delta(values: np.ndarray) -> bytes | None:
     if not np.array_equal(v[:-1] + d, v[1:]):
         return None
     zz = _zigzag(d)
-    lo = int(zz.min())
+    lo = int(zz.min())  # uint64 value: pack unsigned
     width = bit_width(int(zz.max()) - lo)
     packed = pack_bits(zz - np.uint64(lo), width)
     return (
         _HDR.pack(TAG_DELTA, len(v))
         + struct.pack("<qB", int(v[0]), width)
-        + struct.pack("<q", lo)
+        + struct.pack("<Q", lo)
         + packed
     )
 
@@ -144,7 +147,7 @@ def decode_ints(payload: bytes) -> np.ndarray:
     if tag == TAG_DELTA:
         first, width = struct.unpack_from("<qB", payload, off)
         off += 9
-        (lo,) = struct.unpack_from("<q", payload, off)
+        (lo,) = struct.unpack_from("<Q", payload, off)
         off += 8
         u = unpack_bits(payload[off:], width, n - 1) + np.uint64(lo)
         d = _unzigzag(u)

@@ -1,0 +1,91 @@
+"""Property-based codec round-trip tests (hypothesis).
+
+The reference has no property testing (SURVEY.md §5); we add it for
+the layer where it pays most: arbitrary values through every codec
+must come back byte-identical. Complements the golden-vector matrix in
+test_codecs.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from colcrush.codecs import decode_array, decode_ints, encode_array, encode_ints_best
+from colcrush.codecs import fsst
+
+_settings = settings(max_examples=60, deadline=None)
+
+
+@_settings
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=300
+    )
+)
+def test_int_roundtrip_any(values):
+    v = np.array(values, dtype=np.int64)
+    assert np.array_equal(decode_ints(encode_ints_best(v)), v)
+
+
+@_settings
+@given(st.binary(max_size=4000))
+def test_fsst_roundtrip_any_bytes(data):
+    table = fsst.train(data)
+    assert fsst.decompress(fsst.compress(data, table), table) == data
+
+
+@_settings
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=80)),
+        max_size=120,
+    )
+)
+def test_string_column_roundtrip_any(rows):
+    arr = pa.array(rows, type=pa.string())
+    out = decode_array(encode_array(arr)[0])
+    assert out.to_pylist() == rows
+
+
+@_settings
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, width=64),
+        ),
+        max_size=150,
+    )
+)
+def test_float_column_roundtrip_any(rows):
+    arr = pa.array(rows, type=pa.float64())
+    out = decode_array(encode_array(arr)[0])
+    got = out.to_pylist()
+    # bitwise comparison (−0.0 vs 0.0 must survive)
+    import struct as s
+
+    def bits(x):
+        return None if x is None else s.pack("<d", x)
+
+    assert [bits(x) for x in got] == [bits(x) for x in rows]
+
+
+@_settings
+@given(
+    st.lists(st.one_of(st.none(), st.booleans()), max_size=200)
+)
+def test_bool_column_roundtrip_any(rows):
+    arr = pa.array(rows, type=pa.bool_())
+    out = decode_array(encode_array(arr)[0])
+    assert out.to_pylist() == rows
+
+
+@_settings
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=60)), max_size=100))
+def test_binary_column_roundtrip_any(rows):
+    arr = pa.array(rows, type=pa.binary())
+    out = decode_array(encode_array(arr)[0])
+    assert out.to_pylist() == rows
