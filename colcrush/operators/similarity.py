@@ -88,6 +88,73 @@ def _sig_bucket_udf(num_planes: int, seed: int):
     return bucket
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str | None = None,
+) -> np.ndarray:
+    """k-means-lite coarse quantizer for IVF: deterministic driver-side
+    sample (ordered limit), a few numpy Lloyd iterations. At 100 TB the
+    sample stays tiny (centroid count x dim), training is driver-side,
+    and the expensive step — assignment — is one vectorized map over
+    the data."""
+    base = df.orderBy(id_col) if id_col else df
+    sample = np.array(
+        [list(r[0]) for r in base.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
+    """Add the IVF cell id column (vectorized argmin via one matmul per
+    Arrow batch). Partitioning/bucketing the table on `_cell` makes
+    probes partition-prunable."""
+    cent_list = centroids.tolist()
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        cent = np.asarray(cent_list, dtype=np.float64)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        d2 = (mat**2).sum(axis=1)[:, None] - 2 * (mat @ cent.T) + (cent**2).sum(axis=1)[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return df.withColumn("_cell", cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the n_probe cells nearest the
+    query, exact cosine re-rank inside them."""
+    qv = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d2.argsort()[:n_probe]]
+    cand = ivf_assign(df, vec_col, centroids).where(F.col("_cell").isin(probe))
+    return brute_force_topk(cand, id_col, vec_col, query, k)
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -147,3 +147,28 @@ def test_lsh_topk_recovers_neighbors(spark, vectors):
     ids = {r["vec_id"] for r in top}
     # near-identical vectors share the query's bucket with very high prob.
     assert ids & {0, 1, 2, 3, 4}, f"LSH lost all true neighbors: {ids}"
+
+
+def test_ivf_topk_recovers_neighbors(spark, vectors):
+    from colcrush.operators.similarity import ivf_topk, train_ivf_centroids
+
+    df, q = vectors
+    cent = train_ivf_centroids(df, "embedding", n_cells=8, id_col="vec_id")
+    top = ivf_topk(df, "vec_id", "embedding", q, cent, k=5, n_probe=3).collect()
+    ids = {r["vec_id"] for r in top}
+    assert ids & {0, 1, 2, 3, 4}, f"IVF lost all true neighbors: {ids}"
+
+
+def test_embedding_neardup_pairs(spark):
+    import numpy as np
+
+    from colcrush.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in base * 1.001])]
+    rows += [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(2, 40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.99)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in got
