@@ -36,6 +36,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
+    # RAM-backed shuffle dirs when available: local-mode shuffles
+    # otherwise serialize through one disk and cap scaling (on a real
+    # cluster every executor brings its own shuffle disks)
+    if os.path.isdir("/dev/shm"):
+        shuffle_dir = "/dev/shm/colcrush-spark-local"
+        os.makedirs(shuffle_dir, exist_ok=True)
+        b = b.config("spark.local.dir", shuffle_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

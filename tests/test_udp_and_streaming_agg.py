@@ -1,0 +1,71 @@
+"""UDP-scan contract test + Structured Streaming windowed aggregation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from colcrush.engine import write_encoded
+from colcrush.engine.scan import scan_udp
+
+
+def test_scan_udp_contract(spark, tmp_path):
+    """parquet4s UDP (UDP.scala:17-51): stats-level canDrop + row-level
+    keep. Chunk-keep: only chunks whose idx range intersects [0, 100);
+    row-keep: even idx."""
+    p = str(tmp_path / "ds")
+    df = spark.range(4096).select(
+        F.col("id").alias("idx"), (F.col("id") % 7).alias("v")
+    )
+    write_encoded(df, p, range_cols=["idx"], target_chunk_rows=512)
+    chunk_keep = (F.col("column") != "idx") | (
+        (F.col("min_d") < 100) & (F.col("max_d") >= 0)
+    )
+    got = scan_udp(
+        spark,
+        p,
+        chunk_keep=chunk_keep,
+        row_condition=(F.col("idx") % 2 == 0) & (F.col("idx") < 100),
+    )
+    rows = got.collect()
+    assert len(rows) == 50
+    assert all(r["idx"] % 2 == 0 and r["idx"] < 100 for r in rows)
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """Event-time windowed aggregation with late-data watermark —
+    beyond the reference's processing-time-only rotation
+    (SURVEY.md §2.8), standard Structured Streaming."""
+    src = str(tmp_path / "in")
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:30", "a", 1.0),
+            ("2024-01-01 00:01:10", "a", 2.0),
+            ("2024-01-01 00:00:45", "b", 5.0),
+            ("2024-01-01 00:03:20", "a", 3.0),
+        ],
+        ["ts_s", "k", "v"],
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "k", "v")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"), "k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        (r["k"], r["window"].start.strftime("%H:%M")): (r["total"], r["n"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    assert rows[("a", "00:00")] == (1.0, 1)
+    assert rows[("a", "00:01")] == (2.0, 1)
+    assert rows[("a", "00:03")] == (3.0, 1)
+    assert rows[("b", "00:00")] == (5.0, 1)
