@@ -68,12 +68,19 @@ def decode_table(
     chunks: DataFrame,
     schema: T.StructType,
     columns: list[str] | None = None,
+    assume_colocated: bool = False,
 ) -> DataFrame:
     """Decode a chunk DataFrame (ENCODED_DDL) back to rows.
 
     ``schema`` is the original table's Spark schema; ``columns``
     restricts the projection (pruning happens BEFORE the shuffle — only
     requested payloads move).
+
+    ``assume_colocated=True`` skips the repartition on chunk_id — valid
+    when ``chunks`` comes straight from ``encode_table`` (each chunk's
+    rows were emitted as one batch in one partition), saving a
+    payload-sized shuffle. The decoder still fails loudly (incomplete
+    chunks) if the assumption is violated, never silently mis-decodes.
     """
     requested = set(columns or [f.name for f in schema.fields])
     missing = requested - {f.name for f in schema.fields}
@@ -86,9 +93,10 @@ def decode_table(
     pruned = chunks.where(chunks["column"].isin(columns)).select(
         "chunk_id", "column", "payload"
     )
-    spark = chunks.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    pruned = pruned.repartition(n_parts, "chunk_id")
+    if not assume_colocated:
+        spark = chunks.sparkSession
+        n_parts = spark.sparkContext.defaultParallelism
+        pruned = pruned.repartition(n_parts, "chunk_id")
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pa.set_cpu_count(1)  # executor runs one worker per core already

@@ -193,7 +193,7 @@ def q_roundtrip_documents_sha(spark, sf):
     semantics)."""
     docs = _t(spark, sf, "documents")
     enc = encode_table(docs, group_cols=["lang"], target_chunk_rows=4096)
-    dec = decode_table(enc, docs.schema)
+    dec = decode_table(enc, docs.schema, assume_colocated=True)
     return dec.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
 
 
@@ -202,7 +202,7 @@ def q_roundtrip_lineitem_q1(spark, sf):
     on the DECODED rows — proves non-string codecs are lossless."""
     li = _t(spark, sf, "lineitem")
     enc = encode_table(li, group_cols=["l_returnflag"], target_chunk_rows=1 << 14)
-    dec = decode_table(enc, li.schema)
+    dec = decode_table(enc, li.schema, assume_colocated=True)
     return _q1_body(dec)
 
 
