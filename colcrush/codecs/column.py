@@ -243,31 +243,42 @@ def encode_array(
         "dict_size": 0,
     }
 
-    # stats
-    mn = mx = None
-    if n > null_count and (
-        _is_intlike(t)
-        or pa.types.is_floating(t)
-        or pa.types.is_string(t)
-        or pa.types.is_large_string(t)
-    ):
-        mm = pc.min_max(arr)
-        mn, mx = mm["min"].as_py(), mm["max"].as_py()
-    meta["min"], meta["max"] = mn, mx
-
     is_str = (
         pa.types.is_string(t)
         or pa.types.is_large_string(t)
         or pa.types.is_binary(t)
         or pa.types.is_large_binary(t)
     )
+    str_parts = _string_parts(nn) if is_str else None
+
+    # stats: skip for long-string columns (avg > 256B) — truncated
+    # bounds on multi-KB text never prune anything, and min_max over
+    # megabytes of strings costs a full scan
+    mn = mx = None
+    want_stats = n > null_count and (
+        _is_intlike(t) or pa.types.is_floating(t)
+    )
+    if (
+        n > null_count
+        and (pa.types.is_string(t) or pa.types.is_large_string(t))
+        and str_parts is not None
+        and (len(str_parts[1]) <= 256 * max(1, len(nn)))
+    ):
+        want_stats = True
+    if want_stats:
+        mm = pc.min_max(arr)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    meta["min"], meta["max"] = mn, mx
+
     if force_codec == IPC or not (
         is_str or _is_intlike(t) or pa.types.is_floating(t)
     ):
         # IPC keeps the original array (nulls inline)
         codec_id, payload, extra = IPC, _enc_ipc(arr, t), {}
     else:
-        codec_id, payload, extra = _choose(nn, t, profile, force_codec, _allow_dict)
+        codec_id, payload, extra = _choose(
+            nn, t, profile, force_codec, _allow_dict, str_parts
+        )
     meta.update(extra)
     meta["codec"] = CODEC_NAMES[codec_id]
 
@@ -277,7 +288,7 @@ def encode_array(
         head += np.packbits(mask, bitorder="little").tobytes()
     blob = head + payload
     meta["enc_bytes"] = len(blob)
-    meta["raw_bytes"] = _raw_bytes(arr)
+    meta["raw_bytes"] = len(str_parts[1]) if str_parts is not None else _raw_bytes(arr)
     return blob, meta
 
 
@@ -297,7 +308,12 @@ def _raw_bytes(arr: pa.Array) -> int:
 
 
 def _choose(
-    nn: pa.Array, t: pa.DataType, profile: str, force: int | None, allow_dict: bool
+    nn: pa.Array,
+    t: pa.DataType,
+    profile: str,
+    force: int | None,
+    allow_dict: bool,
+    str_parts: tuple | None = None,
 ) -> tuple[int, bytes, dict]:
     extra: dict = {}
     is_str = (
@@ -311,7 +327,7 @@ def _choose(
         return IPC, _enc_ipc(nn, t), extra
 
     if is_str:
-        lengths, blob = _string_parts(nn)
+        lengths, blob = str_parts if str_parts is not None else _string_parts(nn)
         if force is not None:
             return _encode_str_forced(force, nn, lengths, blob, profile, extra)
         candidates: list[tuple[int, int]] = []  # (est_size, codec)

@@ -119,31 +119,29 @@ def compress(corpus: bytes, table: list[tuple[int, int, int]]) -> bytes:
         return corpus
     head, tail = table[:_SEQ_HEAD], table[_SEQ_HEAD:]
     corpus = compress_sequential(corpus, head)
-    table = tail
-    if not table or len(corpus) < 2:
+    if not tail or len(corpus) < 2:
         return corpus
     a = np.frombuffer(corpus, dtype=np.uint8)
+    # ONE lut with every tail symbol: patterns whose components aren't
+    # materialized yet simply don't match yet; iterating to convergence
+    # applies deeper levels as their inputs appear. Early-break when a
+    # pass stops paying (<0.1% shrink) — leaving matches unapplied only
+    # costs ratio, never correctness (decode expands any valid codes).
     lut = np.full(65536, -1, dtype=np.int32)
-    for lvl in _levels(table):
-        for code, x, y in lvl:
-            lut[(x << 8) | y] = code
-        # iterate to fixpoint: a replacement can create a new same-level
-        # match by making its neighbors adjacent; later iterations are
-        # cheap (the array shrinks and usually converges in 2-3 rounds)
-        for _ in range(8):
-            if len(a) < 2:
-                break
-            before = len(a)
-            a = _apply_level(a, lut)
-            if len(a) == before:
-                break
-        for code, x, y in lvl:  # reset for next level
-            lut[(x << 8) | y] = -1
+    for code, x, y in tail:
+        lut[(x << 8) | y] = code
+    for _ in range(48):
+        if len(a) < 2:
+            break
+        before = len(a)
+        a = _apply_level(a, lut)
+        if before - len(a) < max(32, before >> 10):
+            break
     return a.tobytes()
 
 
 def _apply_level(a: np.ndarray, lut: np.ndarray) -> np.ndarray:
-    pair16 = (a[:-1].astype(np.uint32) << np.uint32(8)) | a[1:]
+    pair16 = (a[:-1].astype(np.uint16) << np.uint16(8)) | a[1:]
     codes = lut[pair16]
     idx = np.flatnonzero(codes >= 0)
     if len(idx) == 0:
