@@ -73,11 +73,11 @@ def bench_encode(spark, n_rows: int, profile: str):
     encode_s = time.time() - t0
     enc_bytes = int(agg["enc"])
 
-    # decode throughput
+    # decode throughput (cache preserves partitioning -> colocated decode)
     enc_cached = encode_table(src, group_cols=["repo", "lang"], profile=profile).cache()
     enc_cached.count()
     t0 = time.time()
-    dec = decode_table(enc_cached, src.schema)
+    dec = decode_table(enc_cached, src.schema, assume_colocated=True)
     n_dec = dec.count()
     decode_s = time.time() - t0
     enc_cached.unpersist()

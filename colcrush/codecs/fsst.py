@@ -183,17 +183,22 @@ def _expansions(table: list[tuple[int, int, int]]):
 
 def decompress(data: bytes, table: list[tuple[int, int, int]]) -> bytes:
     """Single-pass vectorized decode: gather each byte's (precomputed,
-    recursive) expansion from a flat table."""
+    recursive) expansion from a flat table. Index math in int32 when the
+    output fits (it always does for <2 GiB chunks), halving traffic."""
     if not table or not data:
         return data
     flat, starts, lens = _expansions(table)
     a = np.frombuffer(data, dtype=np.uint8)
     l = lens[a]
     total = int(l.sum())
-    offs = np.zeros(len(a), dtype=np.int64)
+    idt = np.int32 if total < 2**31 and len(flat) < 2**31 else np.int64
+    l = l.astype(idt, copy=False)
+    offs = np.zeros(len(a), dtype=idt)
     np.cumsum(l[:-1], out=offs[1:])
-    pos = np.arange(total, dtype=np.int64) - np.repeat(offs, l)
-    out = flat[np.repeat(starts[a], l) + pos]
+    # index = starts[a] + (arange(total) - repeat(offs))
+    idx = np.repeat((starts.astype(idt)[a] - offs), l)
+    idx += np.arange(total, dtype=idt)
+    out = flat[idx]
     return out.tobytes()
 
 

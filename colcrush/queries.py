@@ -133,6 +133,49 @@ def q_concat(spark, sf):
     return concat(a, b)
 
 
+def q_join_semi(spark, sf):
+    """Left-semi join (EXISTS) — engine breadth beyond the reference
+    (parquet4s has no semi/anti, SURVEY.md §2.4)."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    big = o.where(F.col("o_totalprice") > 300000).select("o_custkey")
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_anti(spark, sf):
+    """Left-anti join (NOT EXISTS)."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_distinct(spark, sf):
+    """DISTINCT projection (absent in the reference, §2.6)."""
+    li = _t(spark, sf, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_except(spark, sf):
+    """EXCEPT set op: customers with orders minus BUILDING-segment."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey"
+    )
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return with_orders.exceptAll(building).distinct()
+
+
+def q_cube_agg(spark, sf):
+    """CUBE aggregation over two dims."""
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_stats_count(spark, sf):
     """Metadata count (Stats.recordCount, stats/FileStats.scala:30)."""
     return _t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("n"))
@@ -405,6 +448,11 @@ QUERIES = {
     "join_left": q_join_left,
     "join_right": q_join_right,
     "join_full": q_join_full,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "distinct": q_distinct,
+    "except": q_except,
+    "cube_agg": q_cube_agg,
     "concat": q_concat,
     "stats_count": q_stats_count,
     "stats_minmax": q_stats_minmax,
@@ -576,6 +624,28 @@ ORACLES = {
         "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_linenumber = 1 "
         "UNION ALL "
         "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_linenumber = 2"
+    ),
+    "join_semi": (
+        "SELECT c_custkey, c_name FROM customer WHERE EXISTS ("
+        "  SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+        "  AND o_totalprice > 300000)"
+    ),
+    "join_anti": (
+        "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS ("
+        "  SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "except": (
+        "SELECT DISTINCT c_custkey FROM ("
+        "  SELECT c_custkey FROM customer WHERE EXISTS ("
+        "    SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        "  EXCEPT ALL"
+        "  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') t"
+    ),
+    "cube_agg": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, "
+        "count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
     ),
     "stats_count": "SELECT count(*) AS n FROM lineitem",
     "stats_minmax": (
