@@ -115,3 +115,28 @@ def write_single_file(df: DataFrame, path: str, mode: str = "error") -> None:
     this is inherently single-task by definition — use partitioned
     writes for anything big."""
     df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def write_with_timestamp_format(
+    df: DataFrame, path: str, fmt: str = "INT96", mode: str = "error"
+) -> None:
+    """Timestamp encoding variants — parquet4s TimestampFormat parity
+    (/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/TimestampFormat.scala:15-18;
+    INT96 default per Schema.scala:286-307, INT64 millis/micros via
+    implicits). Spark exposes the same switch as
+    spark.sql.parquet.outputTimestampType: INT96 | TIMESTAMP_MICROS |
+    TIMESTAMP_MILLIS."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", fmt)
+    try:
+        df.write.mode(mode).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+
+def read_merged(spark: SparkSession, *paths: str) -> DataFrame:
+    """Multi-file scan with schema union — parquet4s's merged projection
+    schemas (Schema.scala:34-52): Spark's mergeSchema unions fields
+    across files, nulling the ones a file lacks."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

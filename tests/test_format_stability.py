@@ -1,0 +1,54 @@
+"""Encoded-format stability goldens.
+
+Resume-from-manifest correctness across engine versions requires that
+the SAME input bytes encode to the SAME chunk ids and payload bytes.
+These goldens pin that. If a codec/format change is INTENTIONAL, update
+the goldens (and accept that pre-existing datasets need re-encoding or
+a format-version gate).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from colcrush.codecs import decode_array, encode_array
+from colcrush.engine.encoder import chunk_id_for
+from colcrush.fixtures import source_code_table
+
+
+def test_chunk_id_function_stable():
+    assert chunk_id_for('["python"]', 0, 0) == hashlib.sha256(
+        b'["python"]|0|0'
+    ).hexdigest()[:32]
+
+
+def test_fixture_generation_stable():
+    """The deterministic fixture itself must not drift (its bytes feed
+    every golden below)."""
+    tbl = source_code_table(100, n_repos=10)
+    h = hashlib.sha256()
+    for col in tbl.column_names:
+        for v in tbl.column(col).to_pylist():
+            h.update(v.encode())
+    assert h.hexdigest() == _FIXTURE_SHA, (
+        f"fixture drifted: {h.hexdigest()} (update golden if intentional)"
+    )
+
+
+def test_encoded_blob_stable():
+    tbl = source_code_table(200, n_repos=10)
+    got = {}
+    for col in ("content", "lang", "path"):
+        arr = tbl.column(col).combine_chunks()
+        blob, meta = encode_array(arr)
+        assert decode_array(blob).to_pylist() == arr.to_pylist()
+        got[col] = (meta["codec"], hashlib.sha256(blob).hexdigest()[:16])
+    assert got == _BLOB_GOLDENS, f"encoded format drifted: {got}"
+
+
+# --- goldens (regenerate with scripts/regen_goldens.py) ---
+_FIXTURE_SHA = "f982717d332a2a678d293a8bfe5f0a2605d24041757978dc8e37d155934be616"
+_BLOB_GOLDENS = {'content': ('fsst', 'd1060eb0b2c62a0b'), 'lang': ('dict', '0da15ed86f3b5f8a'), 'path': ('fsst', '561897c8faaedc8d')}
