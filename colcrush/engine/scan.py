@@ -57,7 +57,16 @@ def _chunk_survives(filt: tuple) -> "F.Column":
     Mirrors parquet4s's canDrop contract (inverted): only provably
     empty chunks are dropped. String stats are truncated to 64 chars at
     encode time, so string range checks are conservative by design.
+
+    Filters are conjuncts; a conjunct may be ("or", [leaf, ...]) whose
+    leaves must reference the SAME column (parquet4s boolean algebra,
+    Filter.scala:79-89) — the chunk survives if ANY branch might match.
     """
+    if filt and filt[0] == "or":
+        out = F.lit(False)
+        for leaf in filt[1]:
+            out = out | _chunk_survives(tuple(leaf))
+        return out
     col, op, val = (filt + (None,))[:3]
     if op == "is_null":
         return F.col("n_nulls") > 0
@@ -95,9 +104,39 @@ def _chunk_survives(filt: tuple) -> "F.Column":
     return F.when(have, keep).otherwise(F.lit(True))
 
 
+def _leaf_condition(f) -> "F.Column":
+    col, op, val = (tuple(f) + (None,))[:3]
+    c = F.col(col)
+    if op == "==":
+        return c == F.lit(val)
+    if op == "!=":
+        return c != F.lit(val)
+    if op == "<":
+        return c < F.lit(val)
+    if op == "<=":
+        return c <= F.lit(val)
+    if op == ">":
+        return c > F.lit(val)
+    if op == ">=":
+        return c >= F.lit(val)
+    if op == "in":
+        return c.isin(list(val))
+    if op == "is_null":
+        return c.isNull()
+    if op == "not_null":
+        return c.isNotNull()
+    raise ValueError(f"unsupported op {op}")
+
+
 def _residual_condition(filters: list[tuple]) -> "F.Column":
     cond = F.lit(True)
     for f in filters:
+        if f and f[0] == "or":
+            branch = F.lit(False)
+            for leaf in f[1]:
+                branch = branch | _leaf_condition(leaf)
+            cond = cond & branch
+            continue
         col, op, val = (tuple(f) + (None,))[:3]
         c = F.col(col)
         if op == "==":
@@ -146,18 +185,13 @@ def scan(
         # a chunk survives iff EVERY conjunct's per-column check passes
         alive = manifest
         for f in filters:
-            col = f[0]
-            cond_df = (
-                manifest.where(F.col("column") == col)
-                .where(_chunk_survives(tuple(f)))
-                .select("chunk_id")
-            )
+            cond_df = manifest.where(_conjunct_manifest_expr(f)).select("chunk_id")
             alive = alive.join(cond_df, on="chunk_id", how="left_semi")
         alive_ids = alive.select("chunk_id").distinct()
         chunks = chunks.join(F.broadcast(alive_ids), on="chunk_id", how="left_semi")
     need_cols = set(columns or [f.name for f in schema.fields])
     for f in filters:
-        need_cols.add(f[0])
+        need_cols.update(_filter_cols(f))
     decoded = decode_table(chunks, schema, columns=sorted(need_cols))
     if filters:
         decoded = decoded.where(_residual_condition(filters))
@@ -175,15 +209,31 @@ def pruned_chunk_count(
     total = manifest.select("chunk_id").distinct().count()
     alive = manifest.select("chunk_id").distinct()
     for f in filters:
-        col = f[0]
         cond_df = (
-            manifest.where(F.col("column") == col)
-            .where(_chunk_survives(tuple(f)))
-            .select("chunk_id")
-            .distinct()
+            manifest.where(_conjunct_manifest_expr(f)).select("chunk_id").distinct()
         )
         alive = alive.join(cond_df, on="chunk_id", how="left_semi")
     return alive.count(), total
+
+
+def _filter_cols(f) -> set[str]:
+    if f and f[0] == "or":
+        return {leaf[0] for leaf in f[1]}
+    return {f[0]}
+
+
+def _conjunct_manifest_expr(f) -> "F.Column":
+    """Manifest-row predicate for one conjunct: the chunk has SOME stats
+    row proving a possible match. OR-conjuncts survive if any branch's
+    column stats admit a match."""
+    if f and f[0] == "or":
+        expr = F.lit(False)
+        for leaf in f[1]:
+            expr = expr | (
+                (F.col("column") == leaf[0]) & _chunk_survives(tuple(leaf))
+            )
+        return expr
+    return (F.col("column") == f[0]) & _chunk_survives(tuple(f))
 
 
 def scan_udp(

@@ -323,6 +323,22 @@ def q_window_running(spark, sf):
     )
 
 
+def q_time_bucket_agg(spark, sf):
+    """Event-time bucketed aggregation (batch analog of the windowed
+    streaming agg) — hourly rollup with exact decimal sums."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "event_type",
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def q_sessionize(spark, sf):
     """Sessionization: 30-minute inactivity gap splits sessions."""
     ev = _t(spark, sf, "events")
@@ -467,6 +483,7 @@ QUERIES = {
     "rollup_agg": q_rollup_agg,
     "topk_per_group": q_topk_per_group,
     "window_running": q_window_running,
+    "time_bucket_agg": q_time_bucket_agg,
     "sessionize": q_sessionize,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_rows": q_dedup_exact_rows,
@@ -697,6 +714,11 @@ ORACLES = {
         "  PARTITION BY user_id ORDER BY ts, event_id "
         "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value "
         "FROM events"
+    ),
+    "time_bucket_agg": (
+        "SELECT date_trunc('hour', ts) AS h, event_type, "
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total, "
+        "count(*) AS n FROM events GROUP BY date_trunc('hour', ts), event_type"
     ),
     "sessionize": (
         "WITH g AS (SELECT user_id, "

@@ -128,3 +128,19 @@ def test_chunk_skipping_actually_skips(spark, tmp):
     got = scan(spark, tmp, filters=[("idx", "<", 100)])
     assert got.count() == 100
     assert got.agg(F.max("idx")).collect()[0][0] == 99
+
+
+def test_scan_or_filter(spark, tmp_path):
+    """Boolean algebra parity (Filter.scala:79-89): OR of two ranges
+    prunes the middle chunks and keeps both ends."""
+    from colcrush.engine import pruned_chunk_count, scan, write_encoded
+
+    p = str(tmp_path / "or_ds")
+    sdf = spark.range(4096).select(F.col("id").alias("idx"))
+    write_encoded(sdf, p, range_cols=["idx"], target_chunk_rows=256)
+    filt = [("or", [("idx", "<", 100), ("idx", ">=", 4000)])]
+    alive, total = pruned_chunk_count(spark, p, filt)
+    assert alive < total
+    got = scan(spark, p, filters=filt)
+    assert got.count() == 100 + 96
+    assert got.where((F.col("idx") >= 100) & (F.col("idx") < 4000)).count() == 0
