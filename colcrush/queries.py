@@ -144,9 +144,10 @@ def q_join_semi(spark, sf):
 
 
 def q_join_anti(spark, sf):
-    """Left-anti join (NOT EXISTS)."""
+    """Left-anti join (NOT EXISTS): customers with no very large order."""
     o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+    big = o.where(F.col("o_totalprice") > 450000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -649,7 +650,8 @@ ORACLES = {
     ),
     "join_anti": (
         "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS ("
-        "  SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        "  SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+        "  AND o_totalprice > 450000)"
     ),
     "distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "except": (
