@@ -134,8 +134,10 @@ def resume_encode(
         .drop("group_key")
     )
     key_expr = F.to_json(F.array(*[F.col(c).cast("string") for c in group_cols]))
+    # no broadcast hint: the committed-group set grows with the dataset
+    # (AQE broadcasts it at runtime whenever it fits)
     pending = df.withColumn("_gk", key_expr).join(
-        F.broadcast(committed), on="_gk", how="left_anti"
+        committed, on="_gk", how="left_anti"
     )
     n_missing = pending.select(*group_cols).distinct().count()
     if n_missing == 0:

@@ -94,9 +94,10 @@ def decode_table(
         "chunk_id", "column", "payload"
     )
     if not assume_colocated:
-        spark = chunks.sparkSession
-        n_parts = spark.sparkContext.defaultParallelism
-        pruned = pruned.repartition(n_parts, "chunk_id")
+        # partition count from spark.sql.shuffle.partitions (+ AQE
+        # coalescing), which scales with the cluster — a fixed
+        # defaultParallelism would underparallelize a 100 TB decode
+        pruned = pruned.repartition("chunk_id")
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pa.set_cpu_count(1)  # executor runs one worker per core already

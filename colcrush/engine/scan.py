@@ -188,7 +188,9 @@ def scan(
             cond_df = manifest.where(_conjunct_manifest_expr(f)).select("chunk_id")
             alive = alive.join(cond_df, on="chunk_id", how="left_semi")
         alive_ids = alive.select("chunk_id").distinct()
-        chunks = chunks.join(F.broadcast(alive_ids), on="chunk_id", how="left_semi")
+        # no broadcast hint: the surviving-chunk set is unbounded at
+        # 100 TB (~10^7 ids); AQE converts to broadcast when it IS small
+        chunks = chunks.join(alive_ids, on="chunk_id", how="left_semi")
     need_cols = set(columns or [f.name for f in schema.fields])
     for f in filters:
         need_cols.update(_filter_cols(f))
