@@ -218,6 +218,7 @@ def encode_array(
     profile: str = "balanced",
     force_codec: int | None = None,
     _allow_dict: bool = True,
+    kernel_cache: dict | None = None,
 ) -> tuple[bytes, dict]:
     """Encode a pa.Array; returns (blob, meta).
 
@@ -277,7 +278,7 @@ def encode_array(
         codec_id, payload, extra = IPC, _enc_ipc(arr, t), {}
     else:
         codec_id, payload, extra = _choose(
-            nn, t, profile, force_codec, _allow_dict, str_parts
+            nn, t, profile, force_codec, _allow_dict, str_parts, kernel_cache
         )
     meta.update(extra)
     meta["codec"] = CODEC_NAMES[codec_id]
@@ -314,6 +315,7 @@ def _choose(
     force: int | None,
     allow_dict: bool,
     str_parts: tuple | None = None,
+    kernel_cache: dict | None = None,
 ) -> tuple[int, bytes, dict]:
     extra: dict = {}
     is_str = (
@@ -334,6 +336,21 @@ def _choose(
         len_enc = encode_ints_best(lengths)
         plain_size = len(len_enc) + len(blob) + 16
         candidates.append((plain_size, PLAIN_STR))
+        # cross-chunk table reuse (same group = same distribution):
+        # skip training when the previous chunk's table is still valid
+        # and achieves a comparable ratio — the big multi-chunk shards
+        # are exactly where encode throughput matters
+        if kernel_cache is not None and "fsst" in kernel_cache and len(blob) >= 1024:
+            table, ref_ratio = kernel_cache["fsst"]
+            counts = np.bincount(np.frombuffer(blob, dtype=np.uint8), minlength=256)
+            if not any(counts[code] for code, _, _ in table):
+                comp = fsst_mod.compress(blob, table)
+                ratio = len(comp) / max(1, len(blob))
+                if ratio <= ref_ratio * 1.15:
+                    payload = _enc_fsst(lengths, blob, profile, table=table, comp=comp)
+                    if len(payload) < plain_size:
+                        return FSST, payload, extra
+            del kernel_cache["fsst"]  # stale — retrain below
         dict_est = _dict_estimate(nn) if allow_dict else None
         if dict_est is not None:
             candidates.append((dict_est, DICT))
@@ -351,6 +368,11 @@ def _choose(
         payload = _enc_fsst(lengths, blob, profile, table=fsst_table, comp=fsst_comp)
         if len(payload) > plain_size:  # estimate was wrong — fall back
             return PLAIN_STR, _blk(len_enc) + _blk(blob), extra
+        if kernel_cache is not None and fsst_table:
+            kernel_cache["fsst"] = (
+                fsst_table,
+                (len(payload) - len(len_enc)) / max(1, len(blob)),
+            )
         return FSST, payload, extra
 
     if _is_intlike(t):

@@ -97,6 +97,7 @@ def _encode_chunk(
     salt: int,
     seq: int,
     profile: str,
+    kernel_caches: dict | None = None,
 ) -> pa.RecordBatch:
     tbl = pa.Table.from_batches(batches)
     cid = chunk_id_for(group_key, salt, seq)
@@ -106,7 +107,10 @@ def _encode_chunk(
         "min_d", "max_d", "payload")}
     for name in tbl.column_names:
         arr = tbl.column(name).combine_chunks()
-        blob, meta = encode_array(arr, profile=profile)
+        cache = None
+        if kernel_caches is not None:
+            cache = kernel_caches.setdefault(name, {})
+        blob, meta = encode_array(arr, profile=profile, kernel_cache=cache)
         rows["chunk_id"].append(cid)
         rows["group_key"].append(group_key)
         rows["salt"].append(salt)
@@ -168,11 +172,15 @@ def _make_encode_fn(
         cur_key: str | None = None
         cur_salt = 0
         seq = 0
+        # per-(group,salt) trained-kernel reuse across that shard's chunks
+        kernel_caches: dict = {}
 
         def flush():
             nonlocal buf, buf_bytes, buf_rows, seq
             if buf_rows:
-                out = _encode_chunk(buf, cur_key, cur_salt, seq, profile)
+                out = _encode_chunk(
+                    buf, cur_key, cur_salt, seq, profile, kernel_caches
+                )
                 seq += 1
                 buf, buf_bytes, buf_rows = [], 0, 0
                 return out
@@ -213,6 +221,7 @@ def _make_encode_fn(
                     if out is not None:
                         yield out
                     seq = 0
+                    kernel_caches.clear()  # new shard, new distribution
                 cur_key, cur_salt = key, salt
                 sl = data.slice(s, e - s)
                 buf.append(sl)
