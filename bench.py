@@ -80,6 +80,13 @@ def bench_encode(spark, n_rows: int, profile: str):
     dec = decode_table(enc_cached, src.schema, assume_colocated=True)
     n_dec = dec.count()
     decode_s = time.time() - t0
+    # codec mix chosen by the auto-selector (observability, from cache)
+    from colcrush.engine.report import codec_summary
+
+    mix = {
+        f"{r['column']}:{r['codec']}": int(r["enc_bytes"])
+        for r in codec_summary(enc_cached).collect()
+    }
     enc_cached.unpersist()
 
     # parquet-mr oracle sizes. The parquet4s-default reference is
@@ -105,6 +112,7 @@ def bench_encode(spark, n_rows: int, profile: str):
     src.unpersist()
     assert n_dec == n_rows
     return {
+        "codec_mix": mix,
         "encode_rows": n_rows,
         "content_bytes": int(content_bytes),
         "raw_bytes": int(total_raw),
