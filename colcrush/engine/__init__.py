@@ -3,6 +3,7 @@
 
 from .dataset import (
     read_chunks,
+    register_view,
     read_decoded,
     read_manifest,
     read_schema,
@@ -23,6 +24,7 @@ __all__ = [
     "read_manifest",
     "read_schema",
     "read_decoded",
+    "register_view",
     "scan",
     "count_rows",
     "column_min_max",

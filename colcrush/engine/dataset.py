@@ -61,6 +61,13 @@ def write_encoded(
     manifest_path = os.path.join(path, MANIFEST_DIR)
     if mode == "error" and os.path.exists(chunks_path):
         raise FileExistsError(f"{path} already contains an encoded dataset")
+    if mode == "append" and os.path.exists(os.path.join(path, SCHEMA_FILE)):
+        existing = read_schema(path)
+        if existing != df.schema:
+            raise ValueError(
+                f"append schema mismatch: dataset has {existing.simpleString()}, "
+                f"got {df.schema.simpleString()}"
+            )
     encoded = encode_table(df, **encode_kwargs).persist()
     try:
         _write_schema(path, df.schema)
@@ -96,6 +103,20 @@ def read_decoded(
     """Full decode of a persisted dataset (optionally projected)."""
     schema = read_schema(path)
     return decode_table(read_chunks(spark, path), schema, columns=columns)
+
+
+def register_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Expose an encoded dataset as a Spark SQL temp view, so
+    ``spark.sql(f"SELECT ... FROM {name}")`` runs over decoded rows —
+    the parquet4s-user migration path to plain SQL."""
+    df = read_decoded(spark, path, columns=columns)
+    df.createOrReplaceTempView(name)
+    return df
 
 
 def resume_encode(

@@ -144,3 +144,22 @@ def test_scan_or_filter(spark, tmp_path):
     got = scan(spark, p, filters=filt)
     assert got.count() == 100 + 96
     assert got.where((F.col("idx") >= 100) & (F.col("idx") < 4000)).count() == 0
+
+
+def test_register_view_sql_over_encoded(spark, src, tmp):
+    from colcrush.engine import register_view
+
+    write_encoded(src, tmp, group_cols=["repo", "lang"])
+    register_view(spark, tmp, "code_files")
+    got = spark.sql(
+        "SELECT lang, count(*) AS n FROM code_files GROUP BY lang"
+    ).collect()
+    want = {r["lang"]: r["count"] for r in src.groupBy("lang").count().collect()}
+    assert {r["lang"]: r["n"] for r in got} == want
+
+
+def test_append_schema_guard(spark, src, tmp):
+    write_encoded(src, tmp, group_cols=["repo", "lang"])
+    bad = src.withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_encoded(bad, tmp, mode="append", group_cols=["repo", "lang"])
