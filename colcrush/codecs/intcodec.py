@@ -116,19 +116,83 @@ def encode_rle(values: np.ndarray) -> bytes:
     )
 
 
-def encode_ints_best(values: np.ndarray, allow_rle: bool = True) -> bytes:
-    """Encode with whichever of plain/forbp/delta/rle is smallest."""
-    v = _to_i64(values)
-    candidates = [encode_plain(v)]
-    f = encode_forbp(v)
+def _size_plain(n: int) -> int:
+    return _HDR.size + 8 * n
+
+
+def _size_forbp(v: np.ndarray) -> int | None:
+    n = len(v)
+    if n == 0:
+        return _HDR.size + 9
+    span = int(v.max()) - int(v.min())
+    if span >= (1 << 63):
+        return None
+    w = bit_width(span)
+    return _HDR.size + 9 + (0 if w == 0 else -(-n * w // 8))
+
+
+def _size_delta(v: np.ndarray) -> int | None:
+    n = len(v)
+    if n < 2:
+        return None
+    with np.errstate(over="ignore"):
+        zz = _zigzag(np.diff(v))
+    w = bit_width(int(zz.max()) - int(zz.min()))
+    return _HDR.size + 9 + 8 + (0 if w == 0 else -(-(n - 1) * w // 8))
+
+
+def _analytic_best_size(v: np.ndarray) -> int:
+    """min size over plain/forbp/delta — mirrors the encoders exactly."""
+    sizes = [_size_plain(len(v))]
+    f = _size_forbp(v)
     if f is not None:
-        candidates.append(f)
-    d = encode_delta(v)
+        sizes.append(f)
+    d = _size_delta(v)
     if d is not None:
-        candidates.append(d)
-    if allow_rle and len(v) > 4:
-        candidates.append(encode_rle(v))
-    return min(candidates, key=len)
+        sizes.append(d)
+    return min(sizes)
+
+
+def encode_ints_best(values: np.ndarray, allow_rle: bool = True) -> bytes:
+    """Encode with whichever of plain/forbp/delta/rle is smallest.
+
+    Candidate sizes are computed ANALYTICALLY (exact formulas mirroring
+    each encoder), so only the winner is actually encoded — 1 encode
+    pass instead of 4. Tie-break order matches the old encode-everything
+    implementation (plain, forbp, delta, rle) so outputs are
+    byte-identical.
+    """
+    v = _to_i64(values)
+    n = len(v)
+    candidates: list[tuple[int, int]] = [(_size_plain(n), TAG_PLAIN)]
+    f = _size_forbp(v)
+    if f is not None:
+        candidates.append((f, TAG_FORBP))
+    d = _size_delta(v)
+    if d is not None:
+        candidates.append((d, TAG_DELTA))
+    if allow_rle and n > 4:
+        change = np.flatnonzero(np.diff(v) != 0)
+        starts = np.concatenate(([0], change + 1))
+        run_values = v[starts]
+        ends = np.concatenate((starts[1:], [n]))
+        run_lengths = ends - starts
+        rle_size = (
+            _HDR.size
+            + 16
+            + _analytic_best_size(run_values)
+            + _analytic_best_size(run_lengths)
+        )
+        candidates.append((rle_size, TAG_RLE))
+    # stable min: first of the smallest, in candidate insertion order
+    best_tag = min(candidates, key=lambda c: c[0])[1]
+    if best_tag == TAG_PLAIN:
+        return encode_plain(v)
+    if best_tag == TAG_FORBP:
+        return encode_forbp(v)
+    if best_tag == TAG_DELTA:
+        return encode_delta(v)
+    return encode_rle(v)
 
 
 # ---------------------------------------------------------------- decoder
