@@ -455,6 +455,39 @@ def q_encode_manifest_lineage(spark, sf):
     )
 
 
+def q_ivf_ann(spark, sf):
+    """IVF ANN (kmeans-lite cells + probe) — rows-only: the coarse
+    quantizer isn't SQL-expressible."""
+    from .operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cent = train_ivf_centroids(emb, "embedding", n_cells=8, id_col="vec_id")
+    return ivf_topk(emb, "vec_id", "embedding", list(q), cent, k=10, n_probe=4).select(
+        "vec_id"
+    )
+
+
+def q_winnow_fingerprints(spark, sf):
+    """Winnowing rolling-hash fingerprints (rows-only: vectorized UDF)."""
+    from .functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.size(winnow_fingerprints(F.col("text"))).alias("n_fp")
+    )
+
+
+def q_multimodal_features(spark, sf):
+    """Multimodal plumbing: synthesized media -> deterministic feature
+    extraction over mapInPandas (decode stage stubbed per mandate)."""
+    from .functions.multimodal import extract_features, synthesize_media_df
+
+    media = synthesize_media_df(spark, 64)
+    feats = extract_features(media, dim=8, fake=True)
+    return feats.select("media_id", "kind", F.size("features").alias("dim"))
+
+
 QUERIES = {
     "scan_projected": q_scan_projected,
     "scan_filtered": q_scan_filtered,
@@ -497,6 +530,9 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "embedding_neardup": q_embedding_neardup,
+    "ivf_ann": q_ivf_ann,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "multimodal_features": q_multimodal_features,
 }
 
 
