@@ -722,7 +722,7 @@ ORACLES = {
     "roundtrip_documents_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
     "roundtrip_lineitem_q1": _Q1_SQL,
     "encode_manifest_lineage": (
-        "SELECT lang, count(*) AS n_rows, sum(strlen(text)) AS raw_bytes "
+        "SELECT lang, count(*) AS n_rows, CAST(sum(strlen(text)) AS BIGINT) AS raw_bytes "
         "FROM documents GROUP BY lang"
     ),
     "tpch_q1": _Q1_SQL,
@@ -763,7 +763,7 @@ ORACLES = {
         "  CASE WHEN epoch(ts) - epoch(lag(ts) OVER ("
         "    PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS brk "
         "  FROM events) "
-        "SELECT user_id, sum(brk) + 1 AS n_sessions FROM g GROUP BY user_id"
+        "SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions FROM g GROUP BY user_id"
     ),
     "dedup_exact_groups": (
         "SELECT sha256(text) AS text_sha, min(doc_id) AS keeper, "

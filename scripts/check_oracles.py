@@ -43,6 +43,47 @@ def row_key(row, cols_sorted, colidx):
     return tuple(norm(row[colidx[c]]) for c in cols_sorted)
 
 
+def spark_kind(dtype: str) -> str:
+    d = dtype.lower()
+    if d.startswith("decimal"):
+        return "decimal"
+    if d in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("timestamp"):
+        return "ts"
+    if d.startswith("array"):
+        return "list"
+    if d in ("string", "date", "binary", "boolean"):
+        return d
+    return d
+
+
+def arrow_kind(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    return str(t)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -71,15 +112,27 @@ def main():
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(ORACLES[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otab = con.execute(ORACLES[name]).arrow()
+            ocols = otab.column_names
+            orows = [
+                tuple(otab.column(i)[j].as_py() for i in range(otab.num_columns))
+                for j in range(otab.num_rows)
+            ]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL {name}: duckdb error {e}")
             continue
 
         msgs = []
+        # dtype-kind parity: the driver's value hash is dtype-sensitive
+        # (round-1 lesson: DuckDB HUGEINT vs Spark BIGINT hash-mismatched
+        # despite identical printed values).
+        skinds = {c.lower(): spark_kind(t) for c, t in sdf.dtypes}
+        for i, c in enumerate(ocols):
+            ok_ = arrow_kind(otab.schema.types[i])
+            sk = skinds.get(c.lower())
+            if sk is not None and sk != ok_:
+                msgs.append(f"dtype kind mismatch on {c}: spark={sk} oracle={ok_}")
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
             msgs.append(f"columns {sorted(scols)} vs {sorted(ocols)}")
         if len(srows) != len(orows):
