@@ -266,6 +266,14 @@ def encode_array(
         and (len(str_parts[1]) <= 256 * max(1, len(nn)))
     ):
         want_stats = True
+    if want_stats and pa.types.is_floating(t) and pc.any(
+        pc.is_nan(nn)
+    ).as_py():
+        # NaN is invisible to pc.min_max but Spark orders it above every
+        # double, so range pruning on [min, max] would wrongly drop a
+        # chunk whose only matches are NaN. Null stats = never pruned
+        # (parquet-writer behavior for NaN pages).
+        want_stats = False
     if want_stats:
         mm = pc.min_max(arr)
         mn, mx = mm["min"].as_py(), mm["max"].as_py()

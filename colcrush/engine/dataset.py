@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from .decoder import decode_table
-from .encoder import MANIFEST_COLS, encode_table
+from .encoder import MANIFEST_COLS, encode_table, group_key_expr
 
 SCHEMA_FILE = "schema.json"
 CHUNKS_DIR = "chunks"
@@ -41,7 +41,12 @@ def _write_schema(path: str, schema: T.StructType) -> None:
 
 
 def read_schema(path: str) -> T.StructType:
-    with open(os.path.join(path, SCHEMA_FILE)) as f:
+    p = os.path.join(path, SCHEMA_FILE)
+    if not os.path.exists(p):
+        epochs = _committed_epoch_dirs(path)
+        if epochs:
+            p = os.path.join(epochs[0], SCHEMA_FILE)
+    with open(p) as f:
         return T.StructType.fromJson(json.load(f))
 
 
@@ -87,12 +92,39 @@ def write_encoded(
         encoded.unpersist()
 
 
+def _committed_epoch_dirs(path: str) -> list[str]:
+    """Epoch sub-datasets (streaming sink layout) whose manifest is
+    committed — an epoch dir with chunks but no manifest/_SUCCESS is an
+    uncommitted partial write and must stay invisible to readers."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in sorted(os.listdir(path)):
+        if d.startswith("epoch=") and os.path.exists(
+            os.path.join(path, d, MANIFEST_DIR, "_SUCCESS")
+        ):
+            out.append(os.path.join(path, d))
+    return out
+
+
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, MANIFEST_DIR))
+    direct = os.path.join(path, MANIFEST_DIR)
+    if os.path.exists(direct):
+        return spark.read.parquet(direct)
+    epochs = _committed_epoch_dirs(path)
+    if epochs:
+        return spark.read.parquet(*[os.path.join(e, MANIFEST_DIR) for e in epochs])
+    return spark.read.parquet(direct)  # raise Spark's own path error
 
 
 def read_chunks(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, CHUNKS_DIR))
+    direct = os.path.join(path, CHUNKS_DIR)
+    if os.path.exists(direct):
+        return spark.read.parquet(direct)
+    epochs = _committed_epoch_dirs(path)
+    if epochs:
+        return spark.read.parquet(*[os.path.join(e, CHUNKS_DIR) for e in epochs])
+    return spark.read.parquet(direct)
 
 
 def read_decoded(
@@ -154,7 +186,7 @@ def resume_encode(
         .withColumn("_gk", F.col("group_key"))
         .drop("group_key")
     )
-    key_expr = F.to_json(F.array(*[F.col(c).cast("string") for c in group_cols]))
+    key_expr = group_key_expr(group_cols)
     # no broadcast hint: the committed-group set grows with the dataset
     # (AQE broadcasts it at runtime whenever it fits)
     pending = df.withColumn("_gk", key_expr).join(

@@ -23,7 +23,6 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
-import json
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -87,8 +86,26 @@ def _stat_num(v) -> float | None:
         return None
 
 
-def chunk_id_for(group_key: str, salt: int, seq: int) -> str:
-    return hashlib.sha256(f"{group_key}|{salt}|{seq}".encode()).hexdigest()[:32]
+def chunk_id_for(group_key: str, salt: int, seq: int, namespace: str = "") -> str:
+    """Deterministic chunk identity. ``namespace`` scopes ids so two
+    encodes into one logical dataset (e.g. streaming epochs) can't
+    collide: colliding ids would let the decoder's accumulator mix
+    columns from different chunks. Empty namespace preserves the
+    round-1 id format (format-stability goldens)."""
+    base = f"{group_key}|{salt}|{seq}"
+    if namespace:
+        base = f"{namespace}|{base}"
+    return hashlib.sha256(base.encode()).hexdigest()[:32]
+
+
+def group_key_expr(group_cols: list[str]) -> "F.Column":
+    """THE canonical group-key rendering, shared by encode (worker
+    passthrough) and resume_encode's anti-join. Must be a single Spark
+    expression: worker-side re-derivation in Python (json.dumps of
+    str(v)) renders booleans/nulls/floats differently ('True'/'None'/
+    '1e-07' vs 'true'/null/'1.0E-7'), which silently broke resume
+    identity for such group columns."""
+    return F.to_json(F.array(*[F.col(c).cast("string") for c in group_cols]))
 
 
 def _encode_chunk(
@@ -98,9 +115,10 @@ def _encode_chunk(
     seq: int,
     profile: str,
     kernel_caches: dict | None = None,
+    namespace: str = "",
 ) -> pa.RecordBatch:
     tbl = pa.Table.from_batches(batches)
-    cid = chunk_id_for(group_key, salt, seq)
+    cid = chunk_id_for(group_key, salt, seq, namespace)
     rows = {name: [] for name in (
         "chunk_id", "group_key", "salt", "seq", "column", "codec", "n_rows",
         "n_nulls", "raw_bytes", "enc_bytes", "dict_size", "min_s", "max_s",
@@ -156,10 +174,14 @@ def _make_encode_fn(
     target_chunk_rows: int,
     profile: str,
     salt_col: str | None,
+    gk_col: str | None = None,
+    namespace: str = "",
 ):
     """Build the mapInArrow function. Rows arrive sorted by
     (group_cols, salt) within each partition; cut at group/salt changes
-    and at size caps."""
+    and at size caps. The group key is read from ``gk_col`` (computed
+    in Spark by group_key_expr) — never re-derived in Python — so the
+    resume anti-join matches byte-for-byte for every column type."""
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # one arrow thread per worker: the executor already runs one
@@ -179,7 +201,8 @@ def _make_encode_fn(
             nonlocal buf, buf_bytes, buf_rows, seq
             if buf_rows:
                 out = _encode_chunk(
-                    buf, cur_key, cur_salt, seq, profile, kernel_caches
+                    buf, cur_key, cur_salt, seq, profile, kernel_caches,
+                    namespace,
                 )
                 seq += 1
                 buf, buf_bytes, buf_rows = [], 0, 0
@@ -189,14 +212,19 @@ def _make_encode_fn(
         for batch in it:
             salts = batch.column(salt_col).to_numpy()
             data = batch.select(
-                [c for c in batch.schema.names if c not in (salt_col, "__sortkey")]
+                [
+                    c
+                    for c in batch.schema.names
+                    if c not in (salt_col, "__sortkey", gk_col)
+                ]
             )
             key_change = np.zeros(batch.num_rows, dtype=bool)
-            if group_cols:
-                # vectorized group/salt boundary detection
-                for c in group_cols:
-                    v = batch.column(c).to_numpy(zero_copy_only=False)
-                    key_change[1:] |= v[1:] != v[:-1]
+            gk_vals = None
+            if gk_col is not None and group_cols:
+                # vectorized group/salt boundary detection on the
+                # Spark-rendered key (one string column)
+                gk_vals = batch.column(gk_col).to_numpy(zero_copy_only=False)
+                key_change[1:] |= gk_vals[1:] != gk_vals[:-1]
             key_change[1:] |= salts[1:] != salts[:-1]
 
             boundaries = np.flatnonzero(key_change)
@@ -205,16 +233,7 @@ def _make_encode_fn(
             for s, e in zip(starts, ends):
                 if e <= s:
                     continue
-                if group_cols:
-                    # must byte-match Spark's F.to_json(F.array(...)) so the
-                    # resume anti-join on group_key works
-                    key = json.dumps(
-                        [str(batch.column(c)[s].as_py()) for c in group_cols],
-                        separators=(",", ":"),
-                        ensure_ascii=False,
-                    )
-                else:
-                    key = "[]"
+                key = str(gk_vals[s]) if gk_vals is not None else "[]"
                 salt = int(salts[s])
                 if cur_key is not None and (key != cur_key or salt != cur_salt):
                     out = flush()
@@ -294,6 +313,7 @@ def encode_table(
     profile: str = "balanced",
     num_partitions: int | None = None,
     salted: bool = True,
+    namespace: str = "",
 ) -> DataFrame:
     """Encode ``df`` into the chunk table (ENCODED_DDL schema).
 
@@ -317,6 +337,7 @@ def encode_table(
 
     salt_col = "__salt"
     key_col = "__sortkey"
+    gk_col = "__groupkey" if group_cols else None
     # deterministic total-ish order WITHOUT comparing multi-KB strings in
     # the sorter: one 8-byte hash of the sort columns (collisions only
     # swap near-identical rows inside one group — chunk content unaffected)
@@ -339,6 +360,7 @@ def encode_table(
         else:
             df = df.withColumn(key_col, sort_key)
             df = df.withColumn(salt_col, F.lit(0).cast("int"))
+        df = df.withColumn(gk_col, group_key_expr(group_cols))
         df = df.repartition(num_partitions, *group_cols, salt_col)
         df = df.sortWithinPartitions(*(group_cols + [salt_col, key_col]))
     elif range_cols:
@@ -358,6 +380,7 @@ def encode_table(
         df = df.sortWithinPartitions(salt_col, key_col)
 
     fn = _make_encode_fn(
-        group_cols, target_chunk_bytes, target_chunk_rows, profile, salt_col
+        group_cols, target_chunk_bytes, target_chunk_rows, profile, salt_col,
+        gk_col, namespace,
     )
     return df.mapInArrow(fn, ENCODED_DDL)

@@ -38,7 +38,14 @@ def count_rows(spark: SparkSession, path: str) -> int:
 
 
 def column_min_max(spark: SparkSession, path: str, column: str) -> tuple[Any, Any]:
-    """Metadata-only min/max folded over chunk stats (Stats.min/max)."""
+    """Metadata-only min/max folded over chunk stats (Stats.min/max).
+
+    Numeric results are exact column values. String results are BOUNDS,
+    not necessarily values present in the data: encode-time string stats
+    are truncated to 64 chars (min) / truncated-and-incremented (max) —
+    same contract as parquet's truncated binary statistics. Callers
+    needing exact long-string extrema should fold over a decoded scan.
+    """
     m = read_manifest(spark, path).where(F.col("column") == column)
     row = m.agg(
         F.min("min_d").alias("mn_d"),
@@ -244,6 +251,9 @@ def scan_udp(
     chunk_keep,
     row_condition,
     columns: list[str] | None = None,
+    *,
+    negated: bool = False,
+    inverse_chunk_drop=None,
 ) -> DataFrame:
     """User-defined-predicate scan — the parquet4s UDP contract
     (/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/UDP.scala:17-51):
@@ -251,12 +261,33 @@ def scan_udp(
     n_nulls, min_s/max_s, min_d/max_d) deciding whether a chunk MIGHT
     match (the inverse of canDrop); ``row_condition`` is the exact
     per-row Column applied after decode (keep). Chunks failing
-    chunk_keep for ANY stats row are skipped without payload I/O."""
+    chunk_keep for ANY stats row are skipped without payload I/O.
+
+    ``negated=True`` evaluates NOT(row_condition) — the parquet4s
+    ``not`` path (Filter.scala UDP handling). Pruning then uses
+    ``inverse_chunk_drop`` (UDP.inverseCanDrop, UDP.scala:37-46): a
+    manifest-stats Column that is True iff EVERY value in the chunk
+    matches the ORIGINAL predicate, so no row survives negation and the
+    chunk is dropped. ``chunk_keep`` is ignored under negation — it
+    cannot be soundly inverted (a chunk that might match may also might
+    not-match). With no ``inverse_chunk_drop``, nothing is pruned."""
     schema = read_schema(path)
     manifest = read_manifest(spark, path)
+    if negated:
+        row_condition = ~row_condition
+        chunk_keep = (
+            ~inverse_chunk_drop if inverse_chunk_drop is not None else F.lit(True)
+        )
+    # kept = chunks with NO stats row failing chunk_keep. Anti-join on
+    # the dropped set, then semi-join chunks on the kept set — both
+    # unhinted (either side is unbounded at 100 TB; AQE broadcasts
+    # whichever turns out small, mirroring scan()).
     dropped = manifest.where(~chunk_keep).select("chunk_id").distinct()
-    chunks = read_chunks(spark, path).join(
-        F.broadcast(dropped), on="chunk_id", how="left_anti"
+    kept = (
+        manifest.select("chunk_id")
+        .distinct()
+        .join(dropped, on="chunk_id", how="left_anti")
     )
+    chunks = read_chunks(spark, path).join(kept, on="chunk_id", how="left_semi")
     decoded = decode_table(chunks, schema, columns=columns)
     return decoded.where(row_condition)

@@ -1,24 +1,32 @@
 """Streaming encode sink: an indefinite stream lands as a resumable
-encoded dataset (chunks + manifest appended per epoch).
+encoded dataset, one committed sub-dataset per epoch.
 
 This is the full north_star composition: the rotating partitioned
 sink's semantics (parquet4s ParquetPartitioningFlow — rotation by
 count/time, postWriteHandler checkpoint,
 /root/reference/akkaPekko/src/main/scala/com/github/mjakubowski84/parquet4s/ParquetPartitioningFlow.scala:303-316,483-507)
-with the colcrush codec layer underneath instead of parquet-mr:
-every micro-batch is chunk-encoded (dict/RLE/FOR/FSST auto-select),
-appended, and manifest-committed — Structured Streaming's checkpoint
-plus the manifest give exactly-once-ish resumability (an epoch retried
-after a crash rewrites the same deterministic chunk ids).
+with the colcrush codec layer underneath instead of parquet-mr.
+
+Idempotency: Structured Streaming's foreachBatch is AT-LEAST-ONCE — an
+epoch retried after a crash re-runs write_batch with the same epoch_id
+and offsets. Each epoch therefore writes its own sub-dataset
+``<path>/epoch=NNNNNNNN/`` in OVERWRITE mode: a retry replaces its own
+partial output instead of appending a second copy, and a fully
+committed epoch (manifest/_SUCCESS present) is skipped outright.
+Chunk ids are namespaced by epoch so ids can never collide across
+epochs (colliding ids would let the decoder's accumulator mix columns
+from different chunks). Readers (read_manifest / read_chunks /
+read_decoded) see only epochs whose manifest committed.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
 
-from ..engine.dataset import write_encoded
+from ..engine.dataset import MANIFEST_DIR, write_encoded
 
 
 def encoded_stream_sink(
@@ -31,15 +39,24 @@ def encoded_stream_sink(
     **encode_kwargs,
 ):
     """Start a streaming query that encodes each micro-batch into the
-    dataset at ``path`` (append mode). ``post_commit(epoch_id, n_rows)``
-    is the postWriteHandler analog. Returns the StreamingQuery."""
+    dataset at ``path`` (one overwrite-committed sub-dataset per epoch).
+    ``post_commit(epoch_id, n_rows)`` is the postWriteHandler analog.
+    Returns the StreamingQuery."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_path = os.path.join(path, f"epoch={int(epoch_id):08d}")
+        if os.path.exists(os.path.join(epoch_path, MANIFEST_DIR, "_SUCCESS")):
+            return  # replay of a fully committed epoch: idempotent no-op
         n = batch_df.count()
         if n == 0:
             return
         write_encoded(
-            batch_df, path, mode="append", group_cols=group_cols, **encode_kwargs
+            batch_df,
+            epoch_path,
+            mode="overwrite",
+            group_cols=group_cols,
+            namespace=f"epoch-{int(epoch_id)}",
+            **encode_kwargs,
         )
         if post_commit is not None:
             post_commit(epoch_id, n)

@@ -163,3 +163,52 @@ def test_append_schema_guard(spark, src, tmp):
     bad = src.withColumn("extra", F.lit(1))
     with pytest.raises(ValueError, match="schema mismatch"):
         write_encoded(bad, tmp, mode="append", group_cols=["repo", "lang"])
+
+
+def test_scan_nan_rows_not_pruned(spark, tmp_path):
+    """NaN soundness: Spark orders NaN above every double, so a chunk
+    whose only rows matching (val > 10.0) are NaN must NOT be pruned.
+    Encoder writes null min/max for NaN-bearing float chunks."""
+    p = str(tmp_path / "nan_ds")
+    sdf = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan")), (2, 5.0)], ["idx", "val"]
+    )
+    write_encoded(sdf, p, target_chunk_rows=512)
+    got = scan(spark, p, filters=[("val", ">", 10.0)]).collect()
+    # Spark semantics: NaN > 10.0 is true
+    assert len(got) == 1 and got[0]["idx"] == 1
+    # and a NaN-free dataset still prunes normally
+    p2 = str(tmp_path / "clean_ds")
+    sdf2 = spark.range(4096).select(
+        F.col("id").alias("idx"), F.col("id").cast("double").alias("val")
+    )
+    write_encoded(sdf2, p2, range_cols=["idx"], target_chunk_rows=512)
+    alive, total = pruned_chunk_count(spark, p2, [("val", ">", 4000.0)])
+    assert alive < total
+
+
+def test_resume_noop_for_nonstring_group_cols(spark, tmp_path):
+    """Resume identity for boolean / float / nullable group columns:
+    the worker-side group key must byte-match Spark's to_json rendering
+    ('true'/null/'1.0E-7', not Python's 'True'/'None'/'1e-07'), else
+    every resume re-appends every group as duplicate chunks."""
+    p = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [
+            (True, 1e-07, "a", 1),
+            (True, 1e-07, "a", 2),
+            (False, 2.5, None, 3),
+            (False, 2.5, None, 4),
+            (True, None, "b", 5),
+        ],
+        ["flag", "ratio", "tag", "v"],
+    )
+    write_encoded(df, p, group_cols=["flag", "ratio", "tag"])
+    n_chunks = read_manifest(spark, p).select("chunk_id").distinct().count()
+    # resume with the SAME data: every group is committed -> 0 missing
+    assert resume_encode(df, p, group_cols=["flag", "ratio", "tag"]) == 0
+    assert (
+        read_manifest(spark, p).select("chunk_id").distinct().count() == n_chunks
+    )
+    got = read_decoded(spark, p)
+    assert got.count() == 5

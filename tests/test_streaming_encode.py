@@ -40,3 +40,53 @@ def test_stream_encodes_to_dataset(spark, tmp_path):
     assert m.where(F.col("column") == "content").agg(
         F.sum("n_rows")
     ).collect()[0][0] == 600
+
+
+def test_epoch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a retried epoch must overwrite its
+    own sub-dataset, not append a second copy; an epoch whose manifest
+    never committed must stay invisible to readers."""
+    import os
+    import shutil
+
+    from colcrush.engine import write_encoded
+    from colcrush.engine.dataset import MANIFEST_DIR
+
+    ds = str(tmp_path / "ds")
+    df = source_code_df(spark, 200, n_repos=3)
+    ep = os.path.join(ds, "epoch=00000000")
+    write_encoded(df, ep, mode="overwrite", group_cols=["lang"],
+                  namespace="epoch-0")
+    assert read_decoded(spark, ds).count() == 200
+
+    # retry after a crash between chunk write and manifest commit:
+    # manifest gone, stale chunks present
+    shutil.rmtree(os.path.join(ep, MANIFEST_DIR))
+    # uncommitted epoch is invisible to readers
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        read_manifest(spark, ds).count()
+
+    write_encoded(df, ep, mode="overwrite", group_cols=["lang"],
+                  namespace="epoch-0")
+    got = read_decoded(spark, ds)
+    assert got.count() == 200
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+
+    # full replay of a committed epoch: second write with same namespace
+    # (overwrite) must leave row count unchanged
+    write_encoded(df, ep, mode="overwrite", group_cols=["lang"],
+                  namespace="epoch-0")
+    assert read_decoded(spark, ds).count() == 200
+
+    # distinct epochs with identical content never collide on chunk_id
+    ep1 = os.path.join(ds, "epoch=00000001")
+    write_encoded(df, ep1, mode="overwrite", group_cols=["lang"],
+                  namespace="epoch-1")
+    m = read_manifest(spark, ds)
+    n_per_epoch = (
+        spark.read.parquet(os.path.join(ep, MANIFEST_DIR))
+        .select("chunk_id").distinct().count()
+    )
+    assert m.select("chunk_id").distinct().count() == 2 * n_per_epoch
+    assert read_decoded(spark, ds).count() == 400

@@ -31,6 +31,48 @@ def test_scan_udp_contract(spark, tmp_path):
     assert all(r["idx"] % 2 == 0 and r["idx"] < 100 for r in rows)
 
 
+def test_scan_udp_inverse_can_drop(spark, tmp_path):
+    """NOT-predicate UDP pruning via inverseCanDrop (UDP.scala:37-46):
+    a chunk is dropped iff EVERY value matches the original predicate
+    (idx < 1000), because no row survives the negation. Soundness =
+    full complement returned despite chunks being skipped."""
+    from colcrush.engine.dataset import read_manifest
+
+    p = str(tmp_path / "ds")
+    df = spark.range(4096).select(
+        F.col("id").alias("idx"), (F.col("id") % 7).alias("v")
+    )
+    write_encoded(df, p, range_cols=["idx"], target_chunk_rows=512)
+    # inverseCanDrop: every idx in the chunk satisfies idx < 1000
+    inverse_drop = (F.col("column") == "idx") & (F.col("max_d") < 1000)
+    n_droppable = (
+        read_manifest(spark, p).where(inverse_drop).select("chunk_id")
+        .distinct().count()
+    )
+    assert n_droppable >= 1  # pruning has something to do
+
+    got = scan_udp(
+        spark,
+        p,
+        chunk_keep=F.lit(True),  # ignored under negation
+        row_condition=F.col("idx") < 1000,
+        negated=True,
+        inverse_chunk_drop=inverse_drop,
+    )
+    rows = got.collect()
+    assert len(rows) == 4096 - 1000
+    assert all(r["idx"] >= 1000 for r in rows)
+
+    # without inverse_chunk_drop nothing is pruned but results match
+    got2 = scan_udp(
+        spark, p,
+        chunk_keep=F.lit(True),
+        row_condition=F.col("idx") < 1000,
+        negated=True,
+    )
+    assert got2.count() == 4096 - 1000
+
+
 def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     """Event-time windowed aggregation with late-data watermark —
     beyond the reference's processing-time-only rotation
