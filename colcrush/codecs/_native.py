@@ -1,0 +1,239 @@
+"""Optional C acceleration for the FSST-style codec hot loops.
+
+The numpy implementation in fsst.py is the canonical, always-available
+path; this module compiles (with the system C compiler, if present) a
+tiny kernel for the two memory-bound inner loops — one greedy
+pair-substitution pass and the decode byte-expansion — and exposes it
+via ctypes. Both kernels implement EXACTLY the semantics of their numpy
+counterparts (greedy left-to-right pair matching == even-offset-in-run
+selection; decode = flat-table gather), so encoded bytes are identical
+whichever path runs; tests/test_codecs.py asserts this equivalence.
+
+No third-party installs: the C source is embedded here (so it travels
+inside the --py-files zip to every executor), compiled once per host
+into a content-addressed .so under the system temp dir, and loaded with
+ctypes. Any failure (no compiler, sandboxed tmp, exotic platform)
+degrades silently to the numpy path. Set COLCRUSH_NATIVE=0 to disable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = r"""
+#include <string.h>
+
+/* One greedy left-to-right pair-substitution pass.
+   lut: 65536 int32, code >= 0 or -1. Returns output length.
+   Semantics match the numpy even-offset-in-run rule: at a match,
+   consume two bytes (skipping any overlapping match at i+1); new pairs
+   formed by this pass's replacements are NOT matched within the pass. */
+long colcrush_apply_pass(const unsigned char *in, long n, const int *lut,
+                         unsigned char *out) {
+    long i = 0, o = 0;
+    while (i + 1 < n) {
+        int code = lut[((unsigned)in[i] << 8) | in[i + 1]];
+        if (code >= 0) {
+            out[o++] = (unsigned char)code;
+            i += 2;
+        } else {
+            out[o++] = in[i++];
+        }
+    }
+    if (i < n)
+        out[o++] = in[i];
+    return o;
+}
+
+/* Full training loop: repeatedly count adjacent byte pairs over the
+   (shrinking) sample, pick the most frequent (FIRST max — ties break
+   toward the numerically lowest pair, matching np.argmax), replace it
+   in-place with the next free code, and record (code, x, y).
+   Semantics identical to the numpy train loop in fsst.py.
+   free: list of free codes in application order; n_free entries.
+   Returns number of symbols written to out_table (3 bytes each).
+   sample_len is updated through pn. */
+long colcrush_train(unsigned char *buf, long *pn, const unsigned char *free_codes,
+                    long n_free, long floor_count, double scale,
+                    long min_gain, long max_symbols, long *counts,
+                    unsigned char *out_table) {
+    long n = *pn;
+    long nsym = 0;
+    for (long s = 0; s < max_symbols && s < n_free; s++) {
+        if (n < 2)
+            break;
+        memset(counts, 0, 65536 * sizeof(long));
+        for (long i = 0; i + 1 < n; i++)
+            counts[((unsigned)buf[i] << 8) | buf[i + 1]]++;
+        long best = 0, bc = counts[0];
+        for (long p = 1; p < 65536; p++)
+            if (counts[p] > bc) { bc = counts[p]; best = p; }
+        if (bc < floor_count || (double)bc * scale < (double)(min_gain + 3))
+            break;
+        unsigned char x = (unsigned char)(best >> 8), y = (unsigned char)(best & 0xFF);
+        unsigned char code = free_codes[s];
+        /* greedy L2R non-overlapping replace, in place */
+        long o = 0, i = 0;
+        while (i + 1 < n) {
+            if (buf[i] == x && buf[i + 1] == y) {
+                buf[o++] = code;
+                i += 2;
+            } else {
+                buf[o++] = buf[i++];
+            }
+        }
+        if (i < n)
+            buf[o++] = buf[i];
+        n = o;
+        out_table[nsym * 3] = code;
+        out_table[nsym * 3 + 1] = x;
+        out_table[nsym * 3 + 2] = y;
+        nsym++;
+    }
+    *pn = n;
+    return nsym;
+}
+
+/* Decode: expand every byte through its precomputed recursive
+   expansion (flat table + starts/lens). Returns output length. */
+long colcrush_expand(const unsigned char *in, long n,
+                     const unsigned char *flat, const long *starts,
+                     const long *lens, unsigned char *out) {
+    long o = 0;
+    for (long i = 0; i < n; i++) {
+        unsigned char b = in[i];
+        long l = lens[b];
+        memcpy(out + o, flat + starts[b], (size_t)l);
+        o += l;
+    }
+    return o;
+}
+"""
+
+
+class _Kernels:
+    def __init__(self, lib: ctypes.CDLL):
+        self._apply = lib.colcrush_apply_pass
+        self._apply.restype = ctypes.c_long
+        self._apply.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        self._expand = lib.colcrush_expand
+        self._expand.restype = ctypes.c_long
+        self._expand.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        self._train = lib.colcrush_train
+        self._train.restype = ctypes.c_long
+        self._train.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_long, ctypes.c_double, ctypes.c_long,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+
+    def apply_pass(self, a: np.ndarray, lut: np.ndarray) -> np.ndarray:
+        a = np.ascontiguousarray(a)
+        out = np.empty(len(a), dtype=np.uint8)
+        o = self._apply(
+            a.ctypes.data, len(a), lut.ctypes.data, out.ctypes.data
+        )
+        return out[:o]
+
+    def train(
+        self,
+        sample: bytes,
+        free_codes: list[int],
+        floor_count: int,
+        scale: float,
+        min_gain: int,
+        max_symbols: int,
+    ) -> list[tuple[int, int, int]]:
+        buf = np.frombuffer(sample, dtype=np.uint8).copy()
+        free = np.array(free_codes, dtype=np.uint8)
+        counts = np.empty(65536, dtype=np.int64)
+        out = np.empty(3 * max(1, max_symbols), dtype=np.uint8)
+        n = ctypes.c_long(len(buf))
+        nsym = self._train(
+            buf.ctypes.data, ctypes.byref(n), free.ctypes.data, len(free),
+            floor_count, scale, min_gain, max_symbols,
+            counts.ctypes.data, out.ctypes.data,
+        )
+        table = [
+            (int(out[i * 3]), int(out[i * 3 + 1]), int(out[i * 3 + 2]))
+            for i in range(nsym)
+        ]
+        return table, buf[: n.value].tobytes()
+
+    def expand(
+        self,
+        a: np.ndarray,
+        flat: np.ndarray,
+        starts: np.ndarray,
+        lens: np.ndarray,
+        total: int,
+    ) -> np.ndarray:
+        a = np.ascontiguousarray(a)
+        out = np.empty(total, dtype=np.uint8)
+        o = self._expand(
+            a.ctypes.data, len(a), flat.ctypes.data,
+            starts.ctypes.data, lens.ctypes.data, out.ctypes.data,
+        )
+        assert o == total
+        return out
+
+
+def _so_path() -> str:
+    tag = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"colcrush_native_{tag}.so"
+    )
+
+
+def _compile(so: str) -> None:
+    d = os.path.dirname(so)
+    src = os.path.join(d, f".{os.path.basename(so)}.{os.getpid()}.c")
+    tmp = src[:-2] + ".so"
+    with open(src, "w") as f:
+        f.write(_SRC)
+    try:
+        subprocess.run(
+            ["cc", "-O3", "-shared", "-fPIC", "-o", tmp, src],
+            check=True,
+            capture_output=True,
+            timeout=60,
+        )
+        os.replace(tmp, so)  # atomic: concurrent workers race safely
+    finally:
+        for p in (src, tmp):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+
+_cached: object = False  # False = not tried yet; None = unavailable
+
+
+def load() -> _Kernels | None:
+    """Return the kernels, compiling on first use; None if unavailable."""
+    global _cached
+    if _cached is not False:
+        return _cached
+    if os.environ.get("COLCRUSH_NATIVE", "1") == "0":
+        _cached = None
+        return None
+    try:
+        so = _so_path()
+        if not os.path.exists(so):
+            _compile(so)
+        _cached = _Kernels(ctypes.CDLL(so))
+    except Exception:  # noqa: BLE001 — any failure means numpy fallback
+        _cached = None
+    return _cached

@@ -509,15 +509,18 @@ def _fsst_estimate(
     cap, max_symbols, frac = _FSST_PROFILE.get(profile, _FSST_PROFILE["balanced"])
     full = len(blob) <= cap
     sample = blob if full else blob[:cap]
-    table = fsst_mod.train(
+    # training substitutes each learned symbol into the sample as it
+    # goes, so the residual IS the compressed sample — no extra
+    # compress() pass for the estimate, and when sample == blob the
+    # residual doubles as the final payload (valid codes decode exactly)
+    table, residual = fsst_mod.train_with_residual(
         blob, sample=sample, max_symbols=max_symbols, min_count_frac=frac
     )
     if not table:
         return None, None, None
-    comp = fsst_mod.compress(sample, table)
-    ratio = len(comp) / max(1, len(sample))
+    ratio = len(residual) / max(1, len(sample))
     est = int(ratio * len(blob)) + 3 * len(table) + len(lengths) * 1 + 64
-    return est, table, (comp if full else None)
+    return est, table, (residual if full else None)
 
 
 def _enc_dict(nn: pa.Array, profile: str, extra: dict) -> tuple[bytes, dict]:

@@ -32,6 +32,10 @@ import struct
 
 import numpy as np
 
+from ._native import load as _load_native
+
+_native = _load_native()
+
 __all__ = ["train", "compress", "decompress"]
 
 
@@ -51,16 +55,43 @@ def train(
     to replace at least that fraction of the sample's bytes, so cheap
     tail symbols don't each cost a full-corpus pass.
     """
+    return train_with_residual(
+        corpus, sample, max_symbols, min_gain, min_count_frac
+    )[0]
+
+
+def train_with_residual(
+    corpus: bytes,
+    sample: bytes | None = None,
+    max_symbols: int = 224,
+    min_gain: int = 8,
+    min_count_frac: float = 0.0003,
+) -> tuple[list[tuple[int, int, int]], bytes | None]:
+    """train() plus the fully-substituted SAMPLE as a free byproduct:
+    training applies each symbol to the sample as it learns, so the
+    final sample IS the sequentially-compressed sample — callers use it
+    as a size estimate, and as the actual payload when sample == corpus
+    (any stream of valid codes decodes exactly). Returns
+    (table, residual or None when no table was learned)."""
     if len(corpus) < 16:
-        return []
-    counts = np.bincount(np.frombuffer(corpus, dtype=np.uint8), minlength=256)
-    free = [c for c in range(255, -1, -1) if counts[c] == 0]
+        return [], None
+    # presence scatter, not bincount: free-code detection only needs
+    # WHICH bytes occur, and fancy-index store runs at memory speed
+    # while np.bincount on uint8 is ~15x slower (int64 upcast inside)
+    present = np.zeros(256, dtype=bool)
+    present[np.frombuffer(corpus, dtype=np.uint8)] = True
+    free = [c for c in range(255, -1, -1) if not present[c]]
     if not free:
-        return []
+        return [], None
     if sample is None:
         sample = corpus if len(corpus) <= (1 << 20) else corpus[: (1 << 20)]
     scale = max(1.0, len(corpus) / max(1, len(sample)))
     floor = max(min_gain + 3, int(min_count_frac * len(sample)))
+    if _native is not None:
+        table, residual = _native.train(
+            sample, free, floor, scale, min_gain, max_symbols
+        )
+        return table, (residual if table else None)
     table: list[tuple[int, int, int]] = []
     cur = sample
     for _ in range(min(max_symbols, len(free))):
@@ -77,7 +108,7 @@ def train(
         code = free.pop(0)
         cur = cur.replace(bytes((x, y)), bytes((code,)))
         table.append((code, x, y))
-    return table
+    return table, (cur if table else None)
 
 
 def compress_sequential(corpus: bytes, table: list[tuple[int, int, int]]) -> bytes:
@@ -104,44 +135,50 @@ def _levels(table: list[tuple[int, int, int]]) -> list[list[tuple[int, int, int]
     return levels
 
 
-_SEQ_HEAD = 16
+_BAND = 16
 
 
 def compress(corpus: bytes, table: list[tuple[int, int, int]]) -> bytes:
-    """Hybrid encode. The top-``_SEQ_HEAD`` symbols (highest training
-    gain) apply sequentially via C-speed ``bytes.replace`` — they carry
-    most of the compression and shrink the corpus fast. The tail then
-    applies LEVEL-BATCHED: one vectorized numpy pass per dependency
-    level (~log(#symbols) passes instead of one per symbol). Any encode
-    strategy that emits valid codes decodes exactly (decode is pure
-    code->pair expansion), so batched greedy L2R matching is safe."""
+    """Priority-banded greedy encode. Symbols enter the 64K lookup
+    table in TRAINING ORDER, ``_BAND`` at a time; each band runs greedy
+    left-to-right passes to convergence before the next band joins.
+    This tracks the training trajectory (training learns symbol k on a
+    corpus where symbols 1..k-1 are already applied) closely enough to
+    match fully-sequential per-symbol application's ratio on code-like
+    corpora, while needing ~2 linear scans per band instead of one scan
+    per symbol. A final sweep catches cross-band matches exposed late.
+    Identical bytes whether the C kernel or the numpy fallback runs
+    (same greedy L2R semantics), so chunk identity never depends on the
+    host toolchain. Any encode strategy that emits valid codes decodes
+    exactly (decode is pure code->pair expansion), so leaving matches
+    unapplied at an early-break only costs ratio, never correctness."""
     if not table or len(corpus) < 2:
         return corpus
-    head, tail = table[:_SEQ_HEAD], table[_SEQ_HEAD:]
-    corpus = compress_sequential(corpus, head)
-    if not tail or len(corpus) < 2:
-        return corpus
     a = np.frombuffer(corpus, dtype=np.uint8)
-    # ONE lut with every tail symbol: patterns whose components aren't
-    # materialized yet simply don't match yet; iterating to convergence
-    # applies deeper levels as their inputs appear. Early-break when a
-    # pass stops paying (<0.1% shrink) — leaving matches unapplied only
-    # costs ratio, never correctness (decode expands any valid codes).
     lut = np.full(65536, -1, dtype=np.int32)
-    for code, x, y in tail:
-        lut[(x << 8) | y] = code
-    for _ in range(48):
-        if len(a) < 2:
-            break
-        before = len(a)
-        a = _apply_level(a, lut)
-        if before - len(a) < max(32, before >> 10):
-            break
-    return a.tobytes()
+
+    def _converge(arr: np.ndarray, max_passes: int) -> np.ndarray:
+        for _ in range(max_passes):
+            if len(arr) < 2:
+                break
+            before = len(arr)
+            arr = _apply_level(arr, lut)
+            if before - len(arr) < max(32, before >> 10):
+                break
+        return arr
+
+    for k in range(0, len(table), _BAND):
+        for code, x, y in table[k : k + _BAND]:
+            lut[(x << 8) | y] = code
+        a = _converge(a, 4)
+    return _converge(a, 16).tobytes()
 
 
 def _apply_level(a: np.ndarray, lut: np.ndarray) -> np.ndarray:
-    pair16 = (a[:-1].astype(np.uint16) << np.uint16(8)) | a[1:]
+    if _native is not None:
+        return _native.apply_pass(a, lut)
+    pair16 = np.multiply(a[:-1], np.uint16(256), dtype=np.uint16)
+    pair16 |= a[1:]
     codes = lut[pair16]
     idx = np.flatnonzero(codes >= 0)
     if len(idx) == 0:
@@ -191,6 +228,8 @@ def decompress(data: bytes, table: list[tuple[int, int, int]]) -> bytes:
     a = np.frombuffer(data, dtype=np.uint8)
     l = lens[a]
     total = int(l.sum())
+    if _native is not None:
+        return _native.expand(a, flat, starts, lens, total).tobytes()
     idt = np.int32 if total < 2**31 and len(flat) < 2**31 else np.int64
     l = l.astype(idt, copy=False)
     offs = np.zeros(len(a), dtype=idt)

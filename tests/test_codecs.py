@@ -220,3 +220,39 @@ def test_content_sha_invariant():
     src = [hashlib.sha256(r.encode("utf-8")).hexdigest() for r in rows]
     got = [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in out.to_pylist()]
     assert src == got
+
+
+def test_native_kernel_matches_numpy_bytes():
+    """The C kernel and the numpy fallback must produce IDENTICAL
+    compressed bytes (and exact roundtrips) — chunk identity can never
+    depend on whether a host has a C compiler."""
+    import numpy as np
+
+    from colcrush.codecs import fsst
+
+    if fsst._native is None:
+        import pytest
+
+        pytest.skip("no C toolchain on this host")
+    rng = np.random.default_rng(3)
+    cases = [
+        b"",
+        b"a",
+        b"ab" * 5000,
+        ("def f(x):\n    return x\n\n" * 5000).encode(),
+        rng.integers(0, 200, size=100_000, dtype=np.uint8).tobytes(),
+    ]
+    nat = fsst._native
+    try:
+        for i, rb in enumerate(cases):
+            tb = fsst.train(rb)
+            fsst._native = None
+            a = fsst.compress(rb, tb)
+            da = fsst.decompress(a, tb)
+            fsst._native = nat
+            b = fsst.compress(rb, tb)
+            db = fsst.decompress(b, tb)
+            assert a == b, f"case {i}: native/numpy compress diverge"
+            assert da == rb and db == rb, f"case {i}: roundtrip"
+    finally:
+        fsst._native = nat

@@ -51,4 +51,4 @@ def test_encoded_blob_stable():
 
 # --- goldens (regenerate with scripts/regen_goldens.py) ---
 _FIXTURE_SHA = "f982717d332a2a678d293a8bfe5f0a2605d24041757978dc8e37d155934be616"
-_BLOB_GOLDENS = {'content': ('fsst', 'd1060eb0b2c62a0b'), 'lang': ('dict', '0da15ed86f3b5f8a'), 'path': ('fsst', '561897c8faaedc8d')}
+_BLOB_GOLDENS = {'content': ('fsst', '4c7b04c555c568b5'), 'lang': ('dict', '0da15ed86f3b5f8a'), 'path': ('fsst', '75468f6831610ace')}
