@@ -94,29 +94,39 @@ def fingerprint_md5(col: F.Column) -> F.Column:
     return F.md5(col)
 
 
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def winnow_fingerprints(texts: pd.Series) -> pd.Series:
+def _md5_long(c: F.Column) -> F.Column:
+    """First 8 hex chars of md5 as a bigint — chosen over a custom
+    rolling hash because BOTH Spark and DuckDB print identical md5 hex,
+    so the fingerprint oracle reproduces values bit-for-bit."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def winnow_fingerprints(col: F.Column, k: int = 8, w: int = 16) -> F.Column:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
-    rolling polynomial hash over k-grams, minimum per window — the
-    robust near-dup fingerprint set. Vectorized numpy per document."""
-    K, W, BASE = 8, 16, np.uint64(1000003)
-    out = []
-    # powers BASE^(K-1-j), j=0..K-1, mod 2^64 (uint64 wraparound)
-    powers = np.ones(K, dtype=np.uint64)
-    for j in range(K - 2, -1, -1):
-        powers[j] = powers[j + 1] * BASE
-    for t in texts:
-        if t is None or len(t) < K:
-            out.append([])
-            continue
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        # polynomial k-gram hash, fully vectorized (mod 2^64 wraps)
-        win_b = np.lib.stride_tricks.sliding_window_view(b, K)
-        h = (win_b * powers).sum(axis=1, dtype=np.uint64)
-        if len(h) <= W:
-            fps = {int(h.min())}
-        else:
-            win = np.lib.stride_tricks.sliding_window_view(h, W)
-            fps = set(win.min(axis=1).astype(np.int64).tolist())
-        out.append(sorted(int(np.int64(np.uint64(f))) for f in fps))
-    return pd.Series(out)
+    hash every k-gram, take the minimum per sliding window of w hashes,
+    distinct — the robust near-dup fingerprint set. Pure Spark
+    expressions (transform / sequence / slice / array_min): whole-stage
+    codegen'd, no Python — the round-1 version was a per-doc numpy UDF.
+    Empty array for texts shorter than k."""
+    n_g = F.length(col) - (k - 1)
+    grams_h = F.transform(
+        F.sequence(F.lit(1), n_g),
+        lambda p: _md5_long(F.substr(col, p, F.lit(k))),
+    )
+
+    # bind the hash array ONCE via a 1-element-array transform scope:
+    # referencing grams_h directly inside the window lambda would make
+    # Catalyst re-evaluate every md5 for every window (O(n^2) blowup —
+    # measured 98s vs 0.3s on 500 docs)
+    def _mins(hs: F.Column) -> F.Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),
+                lambda s: F.array_min(F.slice(hs, s, w)),
+            )
+        )
+
+    mins = F.element_at(F.transform(F.array(grams_h), _mins), 1)
+    return F.when(F.length(col) >= k, F.array_sort(mins)).otherwise(
+        F.expr("CAST(array() AS array<bigint>)")
+    )

@@ -3,8 +3,7 @@
 Beyond the reference's surface (SURVEY.md mandate): exact dedup,
 MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard — all as
 compositions of built-in DataFrame ops (explode / groupBy / join) so
-Catalyst plans the shuffles; no per-row Python anywhere except the
-vectorized SimHash pandas_udf.
+Catalyst plans the shuffles; no per-row Python anywhere.
 
 Scale notes (100 TB):
 - exact dedup shuffles a 32-byte sha, never the content;
@@ -15,11 +14,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
-from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql import types as T
+from pyspark.sql import DataFrame, functions as F
 
 
 def exact_dedup(
@@ -136,16 +131,59 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     shingle_n: int = 3,
     bands: int = 16,
+    exact_verify: bool = False,
 ) -> DataFrame:
-    """Near-duplicate pairs (a, b, jaccard) with estimated Jaccard >=
-    threshold: MinHash -> LSH banding -> signature-level verification.
-    The signature agreement fraction is the Jaccard estimate."""
+    """Near-duplicate pairs (a, b, jaccard) with Jaccard >= threshold:
+    MinHash -> LSH banding -> verification.
+
+    ``exact_verify=False``: the signature agreement fraction is the
+    (cheap, approximate) Jaccard estimate. ``exact_verify=True``:
+    candidates are re-verified with the EXACT Jaccard of the distinct
+    shingle sets (array_intersect on xxhash64'd shingles — longs, so
+    no multi-KB strings cross the verify join). Exact verification
+    makes the result oracle-checkable: it equals the all-pairs exact
+    Jaccard >= threshold result wherever LSH recall is 1 (the banding
+    parameters are chosen so misses at the threshold are ~1e-4)."""
     rows_per_band = num_hashes // bands
-    # materialize signatures once: they feed the bucket join (2 sides)
-    # and the verification join (2 sides) — without this the whole
-    # shingle+minhash plan would re-run per branch
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).localCheckpoint()
+    # materialize the shingle sets once: they feed the signature
+    # aggregation AND (under exact_verify) the verification join —
+    # without this the whole shingle plan would re-run per branch
+    sets = df.select(
+        F.col(id_col),
+        _shingles(text_col, shingle_n).alias("_sh"),
+    ).localCheckpoint()
+    inv = sets.select(F.col(id_col), F.explode("_sh").alias("_tok"))
+    aggs = [
+        F.min(F.hash(F.col("_tok"), F.lit(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = (
+        inv.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+        .localCheckpoint()
+    )
     cands = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    if exact_verify:
+        hs = sets.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform("_sh", lambda x: F.xxhash64(x))
+            ).alias("_hs"),
+        ).withColumn("_sz", F.size("_hs"))
+        sl = hs.select(
+            F.col(id_col).alias("a"), F.col("_hs").alias("_ha"), F.col("_sz").alias("_sza")
+        )
+        sr = hs.select(
+            F.col(id_col).alias("b"), F.col("_hs").alias("_hb"), F.col("_sz").alias("_szb")
+        )
+        joined = cands.join(sl, "a").join(sr, "b")
+        inter = F.size(F.array_intersect("_ha", "_hb"))
+        jac = (inter / (F.col("_sza") + F.col("_szb") - inter)).alias("jaccard")
+        return joined.select("a", "b", jac).where(F.col("jaccard") >= threshold)
     sl = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("_sa"))
     sr = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("_sb"))
     joined = cands.join(sl, "a").join(sr, "b")
@@ -159,45 +197,50 @@ def minhash_dedup_pairs(
     return joined.select("a", "b", est).where(F.col("jaccard") >= threshold)
 
 
-_SIMHASH_OUT = T.LongType()
-
-
-@F.pandas_udf(_SIMHASH_OUT)
-def _simhash64(tokens: pd.Series) -> pd.Series:
-    """Vectorized 64-bit SimHash over token arrays (Arrow-batched)."""
-    out = np.zeros(len(tokens), dtype=np.uint64)
-    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            continue
-        hs = np.fromiter(
-            (hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(hs)
-        out[i] = (weights[votes > 0]).sum(dtype=np.uint64)
-    return pd.Series(out.view(np.int64))
-
-
-def hash64(s: str) -> int:
-    """Deterministic 64-bit string hash (md5 prefix — C speed per
-    token, stable across processes unlike Python's builtin hash)."""
-    import hashlib
-
-    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
-
-
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = F.split(F.col(text_col), " ")
-    return df.select(F.col(id_col), _simhash64(toks).alias("simhash"))
+    """(id, simhash: bigint) 64-bit SimHash, entirely JVM-side.
+
+    Per-token 64-bit hash = the first 16 hex chars of md5(token),
+    consumed as four 16-bit words (md5 was chosen over xxhash64 so a
+    DuckDB oracle can recompute the signature bit-for-bit — both
+    engines print identical md5 hex). Tokens explode once; each of the
+    64 bit votes is one conditional-sum aggregate, so the whole
+    signature is whole-stage-codegen'd with map-side partial
+    aggregation — no Python in the path (the round-1 pandas_udf ran
+    per-token Python md5, the exact anti-pattern the mandate bans)."""
+    inv = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    ).withColumn("_md5", F.md5("_tok"))
+    words = [
+        F.conv(F.substring("_md5", 4 * k + 1, 4), 16, 10).cast("int").alias(f"_w{k}")
+        for k in range(4)
+    ]
+    inv = inv.select(id_col, *words)
+    votes = [
+        F.sum(
+            F.shiftright(F.col(f"_w{j // 16}"), j % 16).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_v{j}")
+        for j in range(64)
+    ]
+    grouped = inv.groupBy(id_col).agg(*votes)
+    sh = None
+    for j in range(64):
+        bit = F.when(F.col(f"_v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sh = term if sh is None else sh.bitwiseOR(term)
+    return grouped.select(F.col(id_col), sh.alias("simhash"))
 
 
 def simhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 4x16-bit segment blocking (a pair
-    within hamming<=3 must agree on >=1 of 4 segments), exact popcount
-    verify via bit_count(xor) — all JVM-side after the signature UDF."""
+    within hamming<=3 must agree on >=1 of 4 segments — pigeonhole, so
+    blocking is COMPLETE for max_hamming < 4), exact popcount verify
+    via bit_count(xor) — all JVM-side."""
     sigs = simhash_signatures(df, id_col, text_col).localCheckpoint()
     seg_keys = F.array(
         *[
@@ -237,63 +280,105 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs >= threshold via
-    explode + equi-join on shingles (inverted index), optionally
-    blocked by ``block_col`` to bound the candidate space."""
+    """Exact n-gram Jaccard similarity pairs >= threshold via an
+    inverted-index self-join, optionally blocked by ``block_col``.
+
+    Scale hardening: the join key is xxhash64(shingle) — an 8-byte
+    long, never the shingle string — and ``max_df`` drops shingles
+    whose document frequency exceeds it from CANDIDATE GENERATION
+    (stopword-like shingles create quadratic bucket blowup at 100 TB).
+    The Jaccard itself is computed exactly on the full distinct shingle
+    sets in a separate verification join, so max_df only costs recall
+    for pairs whose every shared shingle is ultra-common — it never
+    corrupts reported similarities (the round-1 count-based formulation
+    would have undercounted intersections under a cutoff)."""
     sh = _shingles(text_col, n)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-        sh.alias("_sh"),
-    ).withColumn("_sz", F.size("_sh")).localCheckpoint()
-    inv = base.select(
-        "_id", "_sz", *( ["_blk"] if block_col else [] ), F.explode("_sh").alias("_tok")
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            *([F.col(block_col).alias("_blk")] if block_col else []),
+            F.array_distinct(
+                F.transform(sh, lambda x: F.xxhash64(x))
+            ).alias("_hs"),
+        )
+        .withColumn("_sz", F.size("_hs"))
+        .localCheckpoint()
     )
+    inv = base.select(
+        "_id", *(["_blk"] if block_col else []), F.explode("_hs").alias("_tok")
+    )
+    if max_df is not None:
+        rare = (
+            inv.groupBy("_tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("_tok")
+        )
+        inv = inv.join(rare, on="_tok", how="left_semi")
     l, r = inv.alias("l"), inv.alias("r")
     cond = (F.col("l._tok") == F.col("r._tok")) & (F.col("l._id") < F.col("r._id"))
     if block_col:
         cond = cond & (F.col("l._blk") == F.col("r._blk"))
-    inter = (
+    cands = (
         l.join(r, cond)
-        .groupBy(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-        .agg(
-            F.count(F.lit(1)).alias("_inter"),
-            F.first("l._sz").alias("_sza"),
-            F.first("r._sz").alias("_szb"),
-        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
     )
-    jac = (
-        F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
-    ).alias("jaccard")
-    return inter.select("a", "b", jac).where(F.col("jaccard") >= threshold)
+    sl = base.select(
+        F.col("_id").alias("a"), F.col("_hs").alias("_ha"), F.col("_sz").alias("_sza")
+    )
+    sr = base.select(
+        F.col("_id").alias("b"), F.col("_hs").alias("_hb"), F.col("_sz").alias("_szb")
+    )
+    joined = cands.join(sl, "a").join(sr, "b")
+    inter = F.size(F.array_intersect("_ha", "_hb"))
+    jac = (inter / (F.col("_sza") + F.col("_szb") - inter)).alias("jaccard")
+    return joined.select("a", "b", jac).where(F.col("jaccard") >= threshold)
 
 
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    threshold: float = 0.98,
-    num_planes: int = 16,
+    threshold: float = 0.95,
+    num_bands: int = 16,
+    planes_per_band: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: random-hyperplane LSH buckets ->
-    in-bucket exact cosine (double precision, JVM-side)."""
-    from .similarity import _sig_bucket_udf, cosine_expr
+    """Embedding-cosine near-dup: BANDED random-hyperplane LSH ->
+    in-bucket exact cosine verify (double precision, JVM-side).
 
-    bucket = _sig_bucket_udf(num_planes, seed)
+    OR-amplification across bands fixes the round-1 recall cliff: one
+    16-plane bucket finds a cosine-0.95 pair with probability
+    (1-acos(.95)/pi)^16 ~= 0.18; with 16 bands of 4 planes the miss
+    probability is (1-0.9^4)^16 ~= 4e-8. Candidates are distinct
+    (a, b) from a per-band equi-join — never an all-pairs product —
+    and only candidate pairs' vectors meet again for the exact check,
+    mirroring the MinHash banding topology above."""
+    from .similarity import _banded_bucket_udf, cosine_expr
+
+    buckets = _banded_bucket_udf(num_bands, planes_per_band, seed)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        bucket(F.col(vec_col)).alias("_bkt"),
+        buckets(F.col(vec_col)).alias("_bkts"),
+    ).localCheckpoint()
+    exploded = base.select("_id", F.posexplode("_bkts").alias("_band", "_bkt"))
+    l, r = exploded.alias("l"), exploded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bkt") == F.col("r._bkt"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
     )
-    l, r = base.alias("l"), base.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l._bkt") == F.col("r._bkt")) & (F.col("l._id") < F.col("r._id")),
-    )
-    cos = cosine_expr(F.col("l._v"), F.col("r._v")).alias("cosine")
-    return (
-        pairs.select(F.col("l._id").alias("a"), F.col("r._id").alias("b"), cos)
-        .where(F.col("cosine") >= threshold)
-    )
+    vl = base.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+    vr = base.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
+    joined = cands.join(vl, "a").join(vr, "b")
+    cos = cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine")
+    return joined.select("a", "b", cos).where(F.col("cosine") >= threshold)

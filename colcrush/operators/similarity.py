@@ -88,6 +88,29 @@ def _sig_bucket_udf(num_planes: int, seed: int):
     return bucket
 
 
+def _banded_bucket_udf(num_bands: int, planes_per_band: int, seed: int):
+    """Pandas UDF: embedding -> array of per-band hyperplane buckets
+    (one int per band). OR-amplification across bands is what gives
+    near-dup search recall; the plane matrix is derived from the seed
+    inside the worker, so nothing large is captured in the closure."""
+    total = num_bands * planes_per_band
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([[] for _ in range(len(vecs))])
+        planes = rng.standard_normal((mat.shape[1], total))
+        signs = (mat @ planes) > 0  # (n, total)
+        weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+        per_band = signs.reshape(len(mat), num_bands, planes_per_band)
+        bkt = (per_band * weights).sum(axis=2).astype(np.int64)  # (n, bands)
+        return pd.Series(list(bkt))
+
+    return buckets
+
+
 def train_ivf_centroids(
     df: DataFrame,
     vec_col: str,

@@ -413,25 +413,50 @@ def q_ann_topk(spark, sf):
 
 
 def q_minhash_dedup(spark, sf):
-    """MinHash+LSH near-dup pairs (rows-only check: LSH bucketing is
-    not ANSI-SQL-expressible)."""
+    """MinHash+LSH candidates -> EXACT shingle-Jaccard verification:
+    equals the all-pairs exact result wherever LSH recall is 1, so the
+    DuckDB oracle recomputes it directly (the reference's cross-engine
+    oracle discipline, ParquetWriterAndSparkCompatibilityItSpec)."""
     return minhash_dedup_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text", threshold=0.5
-    ).select("a", "b", F.round("jaccard", 6).alias("jaccard_est"))
+        _t(spark, sf, "documents"), "doc_id", "text",
+        threshold=0.5, exact_verify=True,
+    ).select("a", "b", F.round("jaccard", 6).alias("jac"))
 
 
 def q_simhash_dedup(spark, sf):
-    """SimHash near-dup pairs (rows-only: signature UDF)."""
+    """SimHash near-dup pairs, max_hamming=3 (4x16-bit blocking is
+    COMPLETE below 4 by pigeonhole, so the blocked result equals the
+    all-pairs result the DuckDB oracle computes). Signatures are
+    md5-derived so both engines agree bit-for-bit."""
     return simhash_dedup_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=8
-    )
+        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=3
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_embedding_neardup(spark, sf):
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
-    return embedding_neardup_pairs(
-        _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.95
-    ).select("a", "b", F.round("cosine", 6).alias("cosine_r"))
+    """Embedding-cosine near-dup via banded hyperplane LSH + exact
+    verify, over the table augmented with DETERMINISTIC planted
+    near-duplicates (vec_id+100000 = perturbed copy of vec_id<50) —
+    the raw table has no pair above cosine 0.52, so planting is what
+    makes recall observable. The oracle reproduces the augmentation
+    and checks all pairs exactly."""
+    emb = _t(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x
+            + F.lit(0.05)
+            * F.element_at(F.col("v"), (i + F.lit(1)) % F.lit(64) + F.lit(1)),
+        ).alias("v"),
+    )
+    aug = base.unionAll(planted)
+    pairs = embedding_neardup_pairs(aug, "vec_id", "v", threshold=0.95)
+    return pairs.select("a", "b")
 
 
 def q_encode_manifest_lineage(spark, sf):
@@ -469,12 +494,15 @@ def q_ivf_ann(spark, sf):
 
 
 def q_winnow_fingerprints(spark, sf):
-    """Winnowing rolling-hash fingerprints (rows-only: vectorized UDF)."""
+    """Winnowing fingerprints, exploded to (doc_id, fp) rows. The
+    k-gram hash is md5-derived, so the DuckDB oracle reproduces every
+    fingerprint value exactly."""
     from .functions.text import winnow_fingerprints
 
     docs = _t(spark, sf, "documents")
     return docs.select(
-        "doc_id", F.size(winnow_fingerprints(F.col("text"))).alias("n_fp")
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"))).alias("fp"),
     )
 
 
@@ -640,6 +668,97 @@ s AS (
 SELECT vec_id FROM s ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
+# exact 3-gram-shingle Jaccard, all pairs >= 0.5 — the ground truth the
+# MinHash+LSH+exact-verify pipeline must reproduce (its banding misses
+# a >=0.5 pair with probability ~1e-4; verified deterministic at the
+# driver SF)
+_MINHASH_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(0, greatest(len(w) - 3, 0) + 1),
+    i -> array_to_string(w[i+1:i+3], ' '))) AS s
+  FROM w
+), sized AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+inv AS (SELECT doc_id, sz, unnest(s) AS tok FROM sized),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i_cnt,
+         any_value(l.sz) AS sza, any_value(r.sz) AS szb
+  FROM inv l JOIN inv r ON l.tok = r.tok AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT a, b, round(CAST(i_cnt AS DOUBLE) / (sza + szb - i_cnt), 6) AS jac
+FROM inter WHERE CAST(i_cnt AS DOUBLE) / (sza + szb - i_cnt) >= 0.5
+"""
+
+# bit-exact SimHash recomputation: md5-derived 4x16-bit token words,
+# 64 vote aggregates, all-pairs hamming <= 3 (the Spark side's 4-segment
+# blocking is complete below hamming 4 by pigeonhole)
+_simhash_words = ", ".join(
+    f"('0x' || substr(md5(tok), {4 * k + 1}, 4))::INT AS w{k}" for k in range(4)
+)
+_simhash_votes = ", ".join(
+    f"sum(((w{j // 16} >> {j % 16}) & 1) * 2 - 1) AS v{j}" for j in range(64)
+)
+_simhash_sig = " | ".join(
+    # DuckDB's checked shift refuses 1 << 63; the sign bit is spelled
+    # as the min-bigint constant instead (same two's-complement pattern
+    # Spark's shiftleft(1L, 63) produces)
+    f"(CASE WHEN v{j} > 0 THEN "
+    + (f"(1::BIGINT << {j})" if j < 63 else "(-9223372036854775807 - 1)::BIGINT")
+    + " ELSE 0::BIGINT END)"
+    for j in range(64)
+)
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (SELECT doc_id, {_simhash_words} FROM toks),
+v AS (SELECT doc_id, {_simhash_votes} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, {_simhash_sig} AS sig FROM v)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+FROM s l JOIN s r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sig, r.sig)) <= 3
+"""
+
+# planted-near-dup ground truth: the same deterministic augmentation
+# (double arithmetic, identical evaluation order) then all-pairs exact
+# cosine — output is ids only so float summation order can't bite
+_EMB_NEARDUP_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), planted AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(1, len(v) + 1),
+           i -> v[i] + CAST(0.05 AS DOUBLE) * v[(i % 64) + 1]) AS v
+  FROM base WHERE vec_id < 50
+), aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+SELECT l.vec_id AS a, r.vec_id AS b
+FROM aug l JOIN aug r ON l.vec_id < r.vec_id
+WHERE list_cosine_similarity(l.v, r.v) >= 0.95
+"""
+
+# bit-exact winnowing: md5-derived k-gram hashes (k=8), window min
+# (w=16), distinct — mirrors functions/text.py winnow_fingerprints
+_WINNOW_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 8 + 2)) AS p
+  FROM documents WHERE length(text) >= 8
+), h AS (
+  SELECT doc_id, p,
+         ('0x' || substr(md5(substr(text, p, 8)), 1, 8))::BIGINT AS h,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM pos
+), m AS (
+  SELECT doc_id, p, ng,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+  FROM h
+)
+SELECT DISTINCT doc_id, wmin AS fp FROM m WHERE p <= greatest(ng - 15, 1)
+"""
+
 ORACLES = {
     "scan_projected": "SELECT doc_id, lang, n_chars FROM documents",
     "scan_filtered": (
@@ -779,6 +898,10 @@ ORACLES = {
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
     "ngram_jaccard_topk": _NGRAM_SQL,
     "ann_topk": _ANN_SQL,
+    "minhash_dedup": _MINHASH_SQL,
+    "simhash_dedup": _SIMHASH_SQL,
+    "embedding_neardup": _EMB_NEARDUP_SQL,
+    "winnow_fingerprints": _WINNOW_SQL,
     # minhash_dedup / simhash_dedup / embedding_neardup: rows-only
     # (LSH bucketing + signature UDFs aren't ANSI-SQL-expressible)
 }

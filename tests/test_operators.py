@@ -172,3 +172,21 @@ def test_embedding_neardup_pairs(spark):
     pairs = embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.99)
     got = {(r["a"], r["b"]) for r in pairs.collect()}
     assert (0, 1) in got
+
+
+def test_embedding_neardup_finds_planted(spark, vectors):
+    """Round-1 hole: embedding_neardup returned 0 rows with nothing
+    proving it works. The fixture's 5 near-base vectors are mutual
+    near-dups (cosine ~0.9995); banded LSH must recover ALL of them
+    and nothing else at threshold 0.99."""
+    from colcrush.operators.dedup import embedding_neardup_pairs
+
+    df, _ = vectors
+    pairs = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.99
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    expected = {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    assert expected <= found, f"missing planted pairs: {expected - found}"
+    assert all(a < 5 and b < 5 for a, b in found), f"spurious: {found}"
+    assert all(r["cosine"] >= 0.99 for r in pairs)
