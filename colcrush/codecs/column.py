@@ -66,12 +66,29 @@ def _is_intlike(t: pa.DataType) -> bool:
         or pa.types.is_timestamp(t)
         or pa.types.is_time(t)
         or pa.types.is_boolean(t)
+        # decimal128 with precision <= 18: the unscaled value provably
+        # fits int64, so money columns ride the FOR/delta/bit-pack int
+        # path EXACTLY (parquet4s encodes these as INT64 with rescale —
+        # DecimalFormat.scala:21-123). Wider decimals keep the IPC
+        # fallback.
+        or (isinstance(t, pa.Decimal128Type) and t.precision <= 18)
     )
 
 
 def _int_view(nn: pa.Array) -> np.ndarray:
     """Non-null int-like array -> int64 numpy."""
     t = nn.type
+    if isinstance(t, pa.Decimal128Type):
+        # unscaled int64, zero-copy reinterpretation of the 16-byte
+        # little-endian two's-complement storage: precision <= 18
+        # guarantees the high word is pure sign extension of the low
+        pairs = np.frombuffer(
+            nn.buffers()[1],
+            dtype=np.uint64,
+            offset=nn.offset * 16,
+            count=2 * len(nn),
+        )
+        return pairs[0::2].view(np.int64).copy()
     if pa.types.is_boolean(t):
         return nn.to_numpy(zero_copy_only=False).astype(np.int64)
     if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_date64(t):
@@ -88,6 +105,27 @@ def _int_restore(values: np.ndarray, t: pa.DataType, mask: np.ndarray | None) ->
         full[~mask] = values
     else:
         full = values
+    if isinstance(t, pa.Decimal128Type):
+        # rebuild decimal128 storage from unscaled int64 (sign-extend
+        # into the high word); exact inverse of _int_view
+        lo = full.astype(np.int64).view(np.uint64)
+        hi = np.where(
+            full < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0)
+        ).astype(np.uint64)
+        buf = np.empty(2 * len(full), dtype=np.uint64)
+        buf[0::2] = lo
+        buf[1::2] = hi
+        validity = None
+        null_count = 0
+        if mask is not None:
+            validity = pa.py_buffer(
+                np.packbits(~mask, bitorder="little").tobytes()
+            )
+            null_count = int(mask.sum())
+        return pa.Array.from_buffers(
+            t, len(full), [validity, pa.py_buffer(buf.tobytes())],
+            null_count=null_count,
+        )
     if pa.types.is_boolean(t):
         return pa.array(full.astype(bool), mask=mask)
     arr = pa.array(full, mask=mask)  # int64

@@ -77,13 +77,25 @@ def _stat_str_max(v) -> str | None:
     return None  # every char was U+10FFFF — no finite upper bound
 
 
-def _stat_num(v) -> float | None:
+def _stat_num(v, toward: float = 0.0) -> float | None:
+    """Numeric stat as double. Decimal values widen one ulp toward
+    ``toward`` (-inf for mins, +inf for maxes): float(Decimal) rounds
+    to nearest, which could otherwise shrink the range and wrongly
+    prune a chunk whose extreme sits exactly on a filter boundary."""
     if v is None or isinstance(v, str):
         return None
+    import decimal
+
+    is_dec = isinstance(v, decimal.Decimal)
     try:
-        return float(v)
+        f = float(v)
     except (TypeError, ValueError):
         return None
+    if is_dec and f == f:  # widen exact-decimal bounds, skip NaN
+        import math
+
+        f = math.nextafter(f, toward)
+    return f
 
 
 def chunk_id_for(group_key: str, salt: int, seq: int, namespace: str = "") -> str:
@@ -142,8 +154,8 @@ def _encode_chunk(
         rows["dict_size"].append(meta["dict_size"])
         rows["min_s"].append(_stat_str(meta["min"]))
         rows["max_s"].append(_stat_str_max(meta["max"]))
-        rows["min_d"].append(_stat_num(meta["min"]))
-        rows["max_d"].append(_stat_num(meta["max"]))
+        rows["min_d"].append(_stat_num(meta["min"], toward=float("-inf")))
+        rows["max_d"].append(_stat_num(meta["max"], toward=float("inf")))
         rows["payload"].append(blob)
     return pa.record_batch(
         [

@@ -59,6 +59,35 @@ def _shingles(text_col: str, n: int) -> F.Column:
     )
 
 
+def _shingle_hashes(text_col: str, n: int) -> F.Column:
+    """Distinct word n-gram shingles as an array<long> of xxhash64
+    values — the scale representation: no shingle STRING is ever
+    materialized (the round-1 array_join per window dominated the
+    minhash bench), and everything downstream (signatures, inverted
+    index, exact-Jaccard verify) moves 8-byte longs. The variadic
+    xxhash64 keeps token boundaries, so distinct hash sets biject
+    distinct string-shingle sets (modulo 64-bit collisions), and
+    Jaccard values computed on either representation agree. The token
+    array is scope-bound via a 1-element-array transform so Catalyst
+    evaluates split() once, not once per shingle."""
+    toks = F.split(F.col(text_col), " ")
+    if n == 1:
+        return F.array_distinct(F.transform(toks, lambda t: F.xxhash64(t)))
+
+    def mk(ts: F.Column) -> F.Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(ts, i + j + 1) for j in range(n)]
+                ),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(toks), mk), 1)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -145,14 +174,15 @@ def minhash_dedup_pairs(
     Jaccard >= threshold result wherever LSH recall is 1 (the banding
     parameters are chosen so misses at the threshold are ~1e-4)."""
     rows_per_band = num_hashes // bands
-    # materialize the shingle sets once: they feed the signature
-    # aggregation AND (under exact_verify) the verification join —
-    # without this the whole shingle plan would re-run per branch
+    # materialize the (hashed) shingle sets once: they feed the
+    # signature aggregation AND (under exact_verify) the verification
+    # join — without this the whole shingle plan would re-run per
+    # branch. Longs only: no shingle string survives past the split.
     sets = df.select(
         F.col(id_col),
-        _shingles(text_col, shingle_n).alias("_sh"),
+        _shingle_hashes(text_col, shingle_n).alias("_hs"),
     ).localCheckpoint()
-    inv = sets.select(F.col(id_col), F.explode("_sh").alias("_tok"))
+    inv = sets.select(F.col(id_col), F.explode("_hs").alias("_tok"))
     aggs = [
         F.min(F.hash(F.col("_tok"), F.lit(i))).alias(f"_h{i}")
         for i in range(num_hashes)
@@ -168,12 +198,7 @@ def minhash_dedup_pairs(
     )
     cands = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band)
     if exact_verify:
-        hs = sets.select(
-            F.col(id_col),
-            F.array_distinct(
-                F.transform("_sh", lambda x: F.xxhash64(x))
-            ).alias("_hs"),
-        ).withColumn("_sz", F.size("_hs"))
+        hs = sets.withColumn("_sz", F.size("_hs"))
         sl = hs.select(
             F.col(id_col).alias("a"), F.col("_hs").alias("_ha"), F.col("_sz").alias("_sza")
         )
@@ -294,14 +319,11 @@ def ngram_jaccard_pairs(
     for pairs whose every shared shingle is ultra-common — it never
     corrupts reported similarities (the round-1 count-based formulation
     would have undercounted intersections under a cutoff)."""
-    sh = _shingles(text_col, n)
     base = (
         df.select(
             F.col(id_col).alias("_id"),
             *([F.col(block_col).alias("_blk")] if block_col else []),
-            F.array_distinct(
-                F.transform(sh, lambda x: F.xxhash64(x))
-            ).alias("_hs"),
+            _shingle_hashes(text_col, n).alias("_hs"),
         )
         .withColumn("_sz", F.size("_hs"))
         .localCheckpoint()

@@ -81,13 +81,13 @@ def q_filter_null(spark, sf):
 
 
 def q_record_filter(spark, sf):
-    """Row-ordinal RecordFilter (Filter.scala:15-53) as row_number."""
+    """Row-ordinal RecordFilter (Filter.scala:15-53), two-pass
+    distributed ordinal — no global single-task window."""
+    from .sources.parquet import record_filter
+
     ev = _t(spark, sf, "events")
-    w = Window.orderBy("event_id")
-    return (
-        ev.withColumn("_ord", F.row_number().over(w) - 1)
-        .where((F.col("_ord") >= 100) & (F.col("_ord") < 200))
-        .select("event_id", "event_type")
+    return record_filter(ev, 100, 200, "event_id").select(
+        "event_id", "event_type"
     )
 
 
@@ -248,6 +248,28 @@ def q_roundtrip_lineitem_q1(spark, sf):
     enc = encode_table(li, group_cols=["l_returnflag"], target_chunk_rows=1 << 14)
     dec = decode_table(enc, li.schema, assume_colocated=True)
     return _q1_body(dec)
+
+
+def q_roundtrip_decimal(spark, sf):
+    """Engine round trip of DECIMAL(12,2) money columns: prices cast to
+    exact decimals BEFORE encode, so the int-path decimal codec (not
+    the IPC fallback) carries them; aggregation on the DECODED rows
+    must match DuckDB's exact-decimal arithmetic. A pytest asserts the
+    manifest records codec != ipc for these columns."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_discount").cast("decimal(4,2)").alias("disc"),
+    )
+    enc = encode_table(li, group_cols=["l_returnflag"], target_chunk_rows=1 << 14)
+    dec = decode_table(enc, li.schema, assume_colocated=True)
+    return dec.groupBy("l_returnflag").agg(
+        F.sum("price").cast("double").alias("sum_price"),
+        F.sum(F.col("price") * (F.lit(1).cast("decimal(3,2)") - F.col("disc")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
 
 def _q1_body(li: DataFrame) -> DataFrame:
@@ -539,6 +561,7 @@ QUERIES = {
     "nested_json": q_nested_json,
     "roundtrip_documents_sha": q_roundtrip_documents_sha,
     "roundtrip_lineitem_q1": q_roundtrip_lineitem_q1,
+    "roundtrip_decimal": q_roundtrip_decimal,
     "encode_manifest_lineage": q_encode_manifest_lineage,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -840,6 +863,14 @@ ORACLES = {
     ),
     "roundtrip_documents_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
     "roundtrip_lineitem_q1": _Q1_SQL,
+    "roundtrip_decimal": (
+        "SELECT l_returnflag, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+        "  (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+        "  AS sum_disc_price, "
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    ),
     "encode_manifest_lineage": (
         "SELECT lang, count(*) AS n_rows, CAST(sum(strlen(text)) AS BIGINT) AS raw_bytes "
         "FROM documents GROUP BY lang"

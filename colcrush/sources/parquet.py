@@ -61,14 +61,47 @@ def record_filter(df: DataFrame, lo: int, hi: int, order_col: str) -> DataFrame:
 
     The reference filters on the file-local row index; a distributed
     engine needs a total order, so the ordinal is defined by
-    ``order_col``. offset/limit semantics: keep ordinals in [lo, hi)."""
+    ``order_col``. offset/limit semantics: keep ordinals in [lo, hi).
+
+    Two-pass distributed ordinal, NOT a global unpartitioned window
+    (which funnels the whole table through one task): range-partition
+    on the order key, count per partition (a tiny driver-side list),
+    turn counts into cumulative offsets, then a partition-LOCAL
+    row_number plus the offset. Partitions whose offset range can't
+    intersect [lo, hi) are filtered out before the window runs, so at
+    100 TB only the partitions containing the requested slice do work.
+    """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(order_col))
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n_part, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = sorted(
+        part.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    keep = [
+        r["_pid"]
+        for r in counts
+        if offsets[r["_pid"]] < hi and offsets[r["_pid"]] + r["count"] > lo
+    ]
+    if not keep:
+        return df.where(F.lit(False))
+    off_map = F.create_map(
+        *[F.lit(x) for p in keep for x in (p, offsets[p])]
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col(order_col))
     return (
-        df.withColumn("_ord", F.row_number().over(w) - 1)
+        part.where(F.col("_pid").isin(keep))
+        .withColumn("_ord", off_map[F.col("_pid")] + F.row_number().over(w) - 1)
         .where((F.col("_ord") >= lo) & (F.col("_ord") < hi))
-        .drop("_ord")
+        .drop("_ord", "_pid")
     )
 
 

@@ -256,3 +256,32 @@ def test_native_kernel_matches_numpy_bytes():
             assert da == rb and db == rb, f"case {i}: roundtrip"
     finally:
         fsst._native = nat
+
+
+def test_decimal_codec_roundtrip():
+    """DECIMAL(p<=18) rides the int path via exact unscaled-int64
+    reinterpretation (parquet4s DecimalFormat.scala:21-123 parity);
+    wider decimals keep the IPC fallback. Negatives, nulls, and scale
+    boundaries round-trip exactly."""
+    import decimal
+
+    import pyarrow as pa
+
+    from colcrush.codecs import decode_array, encode_array
+
+    D = decimal.Decimal
+    cases = [
+        (pa.array([D("1.23"), D("-4.56"), None, D("99999999.99"), D("0.00")],
+                   type=pa.decimal128(12, 2)), ("ints", "dict")),
+        (pa.array([D("999999999999.999999"), D("-999999999999.999999")],
+                   type=pa.decimal128(18, 6)), ("ints", "dict")),
+        (pa.array([D(i) / 100 for i in range(1000)],
+                   type=pa.decimal128(12, 2)), ("ints", "dict")),
+        (pa.array([D("38.000000000000000001")],
+                   type=pa.decimal128(38, 18)), ("ipc",)),
+    ]
+    for i, (arr, codecs) in enumerate(cases):
+        blob, meta = encode_array(arr)
+        assert meta["codec"] in codecs, f"case {i}: {meta['codec']}"
+        back = decode_array(blob)
+        assert back.equals(arr), f"case {i} roundtrip"

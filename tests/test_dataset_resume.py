@@ -212,3 +212,24 @@ def test_resume_noop_for_nonstring_group_cols(spark, tmp_path):
     )
     got = read_decoded(spark, p)
     assert got.count() == 5
+
+
+def test_decimal_columns_use_int_codec(spark, tmp_path):
+    """north_rule lineage check: DECIMAL(12,2) money columns must ride
+    the lightweight int codec, not the arrow-IPC fallback."""
+    p = str(tmp_path / "dec_ds")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    write_encoded(li, p, group_cols=["l_returnflag"])
+    codecs = {
+        r["codec"]
+        for r in read_manifest(spark, p).where(F.col("column") == "price").collect()
+    }
+    assert codecs and "ipc" not in codecs, codecs
+    got = read_decoded(spark, p)
+    assert got.count() == li.count()
+    s1 = got.agg(F.sum("price")).collect()[0][0]
+    s2 = li.agg(F.sum("price")).collect()[0][0]
+    assert s1 == s2

@@ -52,3 +52,23 @@ def test_encoded_blob_stable():
 # --- goldens (regenerate with scripts/regen_goldens.py) ---
 _FIXTURE_SHA = "f982717d332a2a678d293a8bfe5f0a2605d24041757978dc8e37d155934be616"
 _BLOB_GOLDENS = {'content': ('fsst', '4c7b04c555c568b5'), 'lang': ('dict', '0da15ed86f3b5f8a'), 'path': ('fsst', '75468f6831610ace')}
+
+
+def test_decimal_blob_stable():
+    """Decimal codec format golden: a fixed decimal array encodes to
+    fixed bytes via the unscaled-int path (never IPC)."""
+    import decimal
+
+    D = decimal.Decimal
+    arr = pa.array(
+        [D(i * 7 % 1000) / 100 for i in range(500)] + [None],
+        type=pa.decimal128(12, 2),
+    )
+    blob, meta = encode_array(arr)
+    assert meta["codec"] != "ipc"
+    assert decode_array(blob).equals(arr)
+    got = (meta["codec"], hashlib.sha256(blob).hexdigest()[:16])
+    assert got == _DECIMAL_GOLDEN, f"decimal format drifted: {got}"
+
+
+_DECIMAL_GOLDEN = ('ints', '8a1f85eea33efe93')
