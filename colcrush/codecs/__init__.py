@@ -18,6 +18,8 @@ from .column import (
     PLAIN_STR,
     decode_array,
     encode_array,
+    register_value_codec,
+    unregister_value_codec,
 )
 from .intcodec import decode_ints, encode_ints_best
 
@@ -27,6 +29,8 @@ __all__ = [
     "unpack_bits",
     "encode_array",
     "decode_array",
+    "register_value_codec",
+    "unregister_value_codec",
     "encode_ints_best",
     "decode_ints",
     "CODEC_NAMES",

@@ -14,9 +14,52 @@ Mapping (SURVEY.md §2.8):
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class PostWriteState:
+    """Post-write hook state — parquet4s PostWriteState parity
+    (ParquetPartitioningFlow.scala:303-316): processed counts, the last
+    record of the epoch, modified partitions, and a manual ``flush()``.
+
+    Flush mapping: in the reference, flush() closes the currently open
+    writers so buffered rows become durable mid-stream. Structured
+    Streaming commits every epoch's files at epoch end already, so the
+    durability part is automatic; what flush() adds here is a durable
+    CONSISTENCY MARKER — ``<path>/_flush/<epoch>`` — recording that the
+    handler explicitly requested a visibility point at this epoch
+    (downstream consumers that only read up to the last flush marker
+    get the same semantics reference users built on manual flush)."""
+
+    epoch_id: int
+    processed_record_count: int
+    last_processed_record: dict | None
+    partitions: list
+    _path: str
+    flushed: bool = field(default=False)
+
+    def flush(self) -> str:
+        d = os.path.join(self._path, "_flush")
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, f"{self.epoch_id:08d}")
+        with open(marker, "w") as f:
+            f.write(str(self.processed_record_count))
+        self.flushed = True
+        return marker
+
+
+def last_flushed_epoch(path: str) -> int | None:
+    """Largest epoch with a flush marker, or None."""
+    d = os.path.join(path, "_flush")
+    if not os.path.isdir(d):
+        return None
+    eps = [int(x) for x in os.listdir(d) if x.isdigit()]
+    return max(eps) if eps else None
 
 
 def via_parquet(
@@ -28,7 +71,7 @@ def via_parquet(
     trigger_seconds: int | None = None,
     default_partition: str | None = None,
     pre_write: Callable[[DataFrame], DataFrame] | None = None,
-    post_write: Callable[[DataFrame, int, list], None] | None = None,
+    post_write: Callable[[DataFrame, int, PostWriteState], None] | None = None,
 ):
     """Start the rotating partitioned sink; returns the StreamingQuery."""
     df = stream_df
@@ -52,7 +95,15 @@ def via_parquet(
                 tuple(r)
                 for r in batch_df.select(*partition_by).distinct().collect()
             ]
-            post_write(batch_df, epoch_id, parts)
+            tail = batch_df.tail(1)
+            state = PostWriteState(
+                epoch_id=epoch_id,
+                processed_record_count=batch_df.count(),
+                last_processed_record=tail[0].asDict() if tail else None,
+                partitions=parts,
+                _path=path,
+            )
+            post_write(batch_df, epoch_id, state)
 
     writer = df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

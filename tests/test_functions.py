@@ -147,8 +147,10 @@ def test_streaming_rotating_sink(spark, tmp_path):
 
     seen = {}
 
-    def post(bdf, epoch, parts):
-        seen["parts"] = parts
+    def post(bdf, epoch, state):
+        seen["parts"] = state.partitions
+        seen["n"] = state.processed_record_count
+        seen["marker"] = state.flush()  # manual flush (PostWriteState parity)
 
     stream = spark.readStream.schema(df.schema).parquet(src_dir)
     q = via_parquet(
@@ -167,5 +169,11 @@ def test_streaming_rotating_sink(spark, tmp_path):
     assert out.where(F.col("part") == "__default__").count() == 67
     assert "doubled" in out.columns
     assert ("__default__",) in seen["parts"]
+    assert seen["n"] == 200
     parts_dirs = [d for d in os.listdir(out_dir) if d.startswith("part=")]
     assert len(parts_dirs) == 3
+    # manual flush left a durable consistency marker
+    from colcrush.streaming.sink import last_flushed_epoch
+
+    assert os.path.exists(seen["marker"])
+    assert last_flushed_epoch(out_dir) is not None

@@ -111,3 +111,35 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     assert rows[("a", "00:01")] == (2.0, 1)
     assert rows[("a", "00:03")] == (3.0, 1)
     assert rows[("b", "00:00")] == (5.0, 1)
+
+
+def test_parquet_stream_source_parallelism(spark, tmp_path):
+    """Streaming source parallelism knob (ParquetSource.scala:257-268
+    flatMapMerge analog): maxFilesPerTrigger bounds epoch width,
+    repartition spreads each micro-batch over N tasks."""
+    import os
+
+    from colcrush.streaming.source import parquet_stream_source
+
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    for i in range(4):  # 4 separate files
+        df.where(F.col("id") % 4 == i).write.mode("append").parquet(src)
+
+    stream = parquet_stream_source(
+        spark, src, df.schema, max_files_per_trigger=2, parallelism=3
+    )
+    epochs = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: epochs.append((e, b.count(), b.rdd.getNumPartitions()))
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(n for _, n, _ in epochs) == 100
+    assert len(epochs) >= 2  # maxFilesPerTrigger split the input
+    assert all(p == 3 for _, _, p in epochs)  # parallelism respected
