@@ -51,6 +51,68 @@ long colcrush_apply_pass(const unsigned char *in, long n, const int *lut,
     return o;
 }
 
+/* One in-place greedy pass (same semantics as colcrush_apply_pass).
+   Writing at o <= i never clobbers unread input, so buf serves as both
+   source and destination. Returns new length. */
+static long apply_inplace(unsigned char *buf, long n, const int *lut) {
+    long i = 0, o = 0;
+    while (i + 1 < n) {
+        int code = lut[((unsigned)buf[i] << 8) | buf[i + 1]];
+        if (code >= 0) {
+            buf[o++] = (unsigned char)code;
+            i += 2;
+        } else {
+            buf[o++] = buf[i++];
+        }
+    }
+    if (i < n)
+        buf[o++] = buf[i];
+    return o;
+}
+
+/* Whole priority-banded compression in one call: symbols (3 bytes
+   each, application order) join the LUT `band` at a time; each band
+   converges (<=4 passes, early-break when a pass shrinks less than
+   max(32, n/1024)), then a final sweep of <=16 passes. Byte-identical
+   to the Python band loop in fsst.py. Returns final length. */
+long colcrush_compress_banded(unsigned char *buf, long n,
+                              const unsigned char *table, long nsym,
+                              long band, int *lut) {
+    for (long p = 0; p < 65536; p++)
+        lut[p] = -1;
+    for (long k = 0; k < nsym; k += band) {
+        long end = k + band < nsym ? k + band : nsym;
+        for (long s = k; s < end; s++) {
+            unsigned char code = table[s * 3];
+            unsigned x = table[s * 3 + 1], y = table[s * 3 + 2];
+            lut[(x << 8) | y] = code;
+        }
+        for (int pass = 0; pass < 4; pass++) {
+            if (n < 2)
+                break;
+            long before = n;
+            n = apply_inplace(buf, n, lut);
+            long thresh = before >> 10;
+            if (thresh < 32)
+                thresh = 32;
+            if (before - n < thresh)
+                break;
+        }
+    }
+    for (int pass = 0; pass < 16; pass++) {
+        if (n < 2)
+            break;
+        long before = n;
+        n = apply_inplace(buf, n, lut);
+        long thresh = before >> 10;
+        if (thresh < 32)
+            thresh = 32;
+        if (before - n < thresh)
+            break;
+    }
+    return n;
+}
+
 /* Full training loop: repeatedly count adjacent byte pairs over the
    (shrinking) sample, pick the most frequent (FIRST max — ties break
    toward the numerically lowest pair, matching np.argmax), replace it
@@ -130,6 +192,12 @@ class _Kernels:
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        self._banded = lib.colcrush_compress_banded
+        self._banded.restype = ctypes.c_long
+        self._banded.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
+        ]
         self._train = lib.colcrush_train
         self._train.restype = ctypes.c_long
         self._train.argtypes = [
@@ -145,6 +213,20 @@ class _Kernels:
             a.ctypes.data, len(a), lut.ctypes.data, out.ctypes.data
         )
         return out[:o]
+
+    def compress_banded(
+        self, corpus: bytes, table: list[tuple[int, int, int]], band: int
+    ) -> bytes:
+        buf = np.frombuffer(corpus, dtype=np.uint8).copy()
+        tb = np.array(
+            [b for sym in table for b in sym], dtype=np.uint8
+        )
+        lut = np.empty(65536, dtype=np.int32)
+        n = self._banded(
+            buf.ctypes.data, len(buf), tb.ctypes.data, len(table), band,
+            lut.ctypes.data,
+        )
+        return buf[:n].tobytes()
 
     def train(
         self,

@@ -154,6 +154,8 @@ def compress(corpus: bytes, table: list[tuple[int, int, int]]) -> bytes:
     unapplied at an early-break only costs ratio, never correctness."""
     if not table or len(corpus) < 2:
         return corpus
+    if _native is not None:
+        return _native.compress_banded(corpus, table, _BAND)
     a = np.frombuffer(corpus, dtype=np.uint8)
     lut = np.full(65536, -1, dtype=np.int32)
 

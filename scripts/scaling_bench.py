@@ -115,6 +115,7 @@ def main():
     # the best trial reflects the job's actual parallel structure
     best_n, best_4n = None, None
     cpu_n, cpu_4n = [], []
+    gbps_n, gbps_4n = [], []
     for _ in range(repeats):
         a = run_encode_job(n, rows, profile)
         b = run_encode_job(4 * n, rows, profile)
@@ -124,12 +125,21 @@ def main():
             best_4n = b
         cpu_n.append(a["cpu_sec"])
         cpu_4n.append(b["cpu_sec"])
+        gbps_n.append(a["gbps"])
+        gbps_4n.append(b["gbps"])
         print(json.dumps({
             "trial_N": a["gbps"], "trial_4N": b["gbps"],
             "cpu_N": a["cpu_sec"], "cpu_4N": b["cpu_sec"],
         }))
     r_n, r_4n = best_n, best_4n
     eff = r_4n["gbps"] / (4 * r_n["gbps"])
+
+    def _median(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+    med_eff = round(_median(gbps_4n) / (4 * _median(gbps_n)), 3)
     # work efficiency: total CPU seconds consumed at 4N vs N — immune to
     # the hypervisor's bursty wall-clock throttling. 1.0 = zero parallel
     # overhead; this is what predicts cluster scaling.
@@ -141,6 +151,9 @@ def main():
         "throughput_N_gbps": r_n["gbps"],
         "throughput_4N_gbps": r_4n["gbps"],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_median": med_eff,
+        "trials_N_gbps": gbps_n,
+        "trials_4N_gbps": gbps_4n,
         "work_efficiency_cpu": work_eff,
         "cpu_sec_N": min(cpu_n),
         "cpu_sec_4N": min(cpu_4n),
@@ -170,6 +183,8 @@ under-report whichever level hits a throttle window).
 
 **Wall scaling efficiency** = {r_4n['gbps']} / (4 x {r_n['gbps']}) =
 **{eff:.3f}** (target >= 0.8; best-of-{repeats} per level).
+**Median-of-trials efficiency** = **{med_eff}** (per-level trials:
+N = {gbps_n} GB/s, 4N = {gbps_4n} GB/s).
 
 **Work efficiency (CPU-seconds N / CPU-seconds 4N)** =
 **{work_eff}** — the throttle-proof measurement: 1.0 means the 4N run
