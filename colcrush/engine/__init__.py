@@ -12,7 +12,7 @@ from .dataset import (
 )
 from .decoder import decode_table
 from .encoder import ENCODED_DDL, MANIFEST_COLS, encode_table, plan_salts
-from .scan import column_min_max, count_rows, pruned_chunk_count, scan
+from .scan import column_min_max, count_rows, filtered_min_max, pruned_chunk_count, scan
 
 __all__ = [
     "encode_table",
@@ -28,6 +28,7 @@ __all__ = [
     "scan",
     "count_rows",
     "column_min_max",
+    "filtered_min_max",
     "pruned_chunk_count",
     "ENCODED_DDL",
     "MANIFEST_COLS",

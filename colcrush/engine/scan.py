@@ -209,6 +209,107 @@ def scan(
     return decoded
 
 
+def filtered_min_max(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    filters: list[tuple],
+    seed_chunks: int = 4,
+    audit: dict | None = None,
+) -> tuple[Any, Any]:
+    """Filtered min/max with early-termination chunk skipping — the
+    distributed analog of parquet4s FilteredFileStats
+    (/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/stats/FilteredFileStats.scala:129-143),
+    which skips a row group whose min can't beat the current extreme.
+
+    A sequential "current extreme" doesn't exist in a distributed scan,
+    so the same skip is achieved adaptively in two phases:
+    1. decode only the ``seed_chunks`` most extreme surviving chunks
+       (smallest min_d for the min, largest max_d for the max) and
+       compute concrete filtered extremes from their rows;
+    2. decode the remaining survivors ONLY where the manifest range
+       could still beat those extremes (min_d < current min, or
+       max_d > current max).
+    On range-sorted data phase 2 is usually empty, so a filtered
+    min/max touches a handful of chunk payloads instead of every
+    survivor (the round-1 gap). Falls back to a full filtered scan when
+    the seed chunks yield no matching rows or stats are absent."""
+    filters = list(filters or [])
+    manifest = read_manifest(spark, path)
+    alive = manifest.select("chunk_id").distinct()
+    for f in filters:
+        cond_df = manifest.where(_conjunct_manifest_expr(f)).select("chunk_id")
+        alive = alive.join(cond_df, on="chunk_id", how="left_semi")
+    # stats rows of the target column for surviving chunks — stays a
+    # DataFrame (12.5M chunks at 100 TB never land on the driver)
+    stats = (
+        manifest.where(F.col("column") == column)
+        .join(alive, on="chunk_id", how="left_semi")
+        .select("chunk_id", "min_d", "max_d")
+    )
+    n_nostat = stats.where(
+        F.col("min_d").isNull() | F.col("max_d").isNull()
+    ).limit(1).count()
+
+    def _full() -> tuple[Any, Any]:
+        full = scan(spark, path, columns=[column], filters=filters)
+        row = full.agg(
+            F.min(column).alias("mn"), F.max(column).alias("mx")
+        ).collect()[0]
+        return row["mn"], row["mx"]
+
+    if n_nostat:
+        return _full()
+
+    # seeds: TakeOrdered of k ids per side — only 2k ids reach the driver
+    lo_ids = [r["chunk_id"] for r in stats.orderBy("min_d").limit(seed_chunks).collect()]
+    hi_ids = [
+        r["chunk_id"]
+        for r in stats.orderBy(F.col("max_d").desc()).limit(seed_chunks).collect()
+    ]
+    seed_ids = sorted(set(lo_ids) | set(hi_ids))
+    if not seed_ids:
+        return None, None
+
+    schema = read_schema(path)
+    need = sorted({column} | {c for f in filters for c in _filter_cols(f)})
+
+    def _extremes(id_filter) -> tuple[Any, Any]:
+        chunks = read_chunks(spark, path).join(id_filter, "chunk_id", "left_semi")
+        dec = decode_table(chunks, schema, columns=need)
+        if filters:
+            dec = dec.where(_residual_condition(filters))
+        row = dec.agg(
+            F.min(column).alias("mn"), F.max(column).alias("mx")
+        ).collect()[0]
+        return row["mn"], row["mx"]
+
+    if audit is not None:
+        audit["n_survivors"] = stats.count()
+        audit["n_seed"] = len(seed_ids)
+    seed_df = spark.createDataFrame([(c,) for c in seed_ids], ["chunk_id"])
+    mn, mx = _extremes(seed_df)
+    if mn is None:
+        # seed chunks held no matching rows — decode all survivors
+        return _full()
+
+    # phase 2: only chunks whose range could still beat the extremes
+    rest = stats.where(
+        ~F.col("chunk_id").isin(seed_ids)
+        & ((F.col("min_d") < float(mn)) | (F.col("max_d") > float(mx)))
+    ).select("chunk_id")
+    n_rest = rest.count()
+    if audit is not None:
+        audit["n_rest"] = n_rest
+    if n_rest:
+        mn2, mx2 = _extremes(rest)
+        if mn2 is not None and mn2 < mn:
+            mn = mn2
+        if mx2 is not None and mx2 > mx:
+            mx = mx2
+    return mn, mx
+
+
 def pruned_chunk_count(
     spark: SparkSession, path: str, filters: list[tuple]
 ) -> tuple[int, int]:

@@ -206,6 +206,34 @@ def q_stats_filtered_minmax(spark, sf):
     )
 
 
+def q_stats_engine_minmax(spark, sf):
+    """Engine filtered min/max with early-termination chunk skipping
+    (FilteredFileStats.scala:129-143 analog): encode lineitem range-
+    sorted, then answer a filtered min/max decoding only boundary
+    chunks; values must equal DuckDB's full filtered aggregate."""
+    import shutil
+    import tempfile
+
+    from .engine import filtered_min_max, write_encoded
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    d = tempfile.mkdtemp(prefix="colcrush_fmm_")
+    try:
+        path = f"{d}/ds"
+        write_encoded(
+            li, path, range_cols=["l_orderkey"], target_chunk_rows=1 << 13
+        )
+        filt = [("l_orderkey", ">=", 1000), ("l_orderkey", "<", 30000)]
+        kmn, kmx = filtered_min_max(spark, path, "l_orderkey", filt)
+        qmn, qmx = filtered_min_max(spark, path, "l_quantity", filt)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(kmn), int(kmx), float(qmn), float(qmx))],
+        "mn_key long, mx_key long, mn_qty double, mx_qty double",
+    )
+
+
 def q_stats_grouped(spark, sf):
     """Partition-aware stats (stats/PartitionedFileStats.scala)."""
     return (
@@ -557,6 +585,7 @@ QUERIES = {
     "stats_count": q_stats_count,
     "stats_minmax": q_stats_minmax,
     "stats_filtered_minmax": q_stats_filtered_minmax,
+    "stats_engine_minmax": q_stats_engine_minmax,
     "stats_grouped": q_stats_grouped,
     "nested_json": q_nested_json,
     "roundtrip_documents_sha": q_roundtrip_documents_sha,
@@ -852,6 +881,12 @@ ORACLES = {
     "stats_filtered_minmax": (
         "SELECT min(l_quantity) AS mn_qty, max(l_quantity) AS mx_qty, count(*) AS n "
         "FROM lineitem WHERE l_returnflag = 'R'"
+    ),
+    "stats_engine_minmax": (
+        "SELECT CAST(min(l_orderkey) AS BIGINT) AS mn_key, "
+        "CAST(max(l_orderkey) AS BIGINT) AS mx_key, "
+        "min(l_quantity) AS mn_qty, max(l_quantity) AS mx_qty "
+        "FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 30000"
     ),
     "stats_grouped": (
         "SELECT lang, min(n_chars) AS mn_chars, max(n_chars) AS mx_chars, "

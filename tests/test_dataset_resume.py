@@ -233,3 +233,41 @@ def test_decimal_columns_use_int_codec(spark, tmp_path):
     s1 = got.agg(F.sum("price")).collect()[0][0]
     s2 = li.agg(F.sum("price")).collect()[0][0]
     assert s1 == s2
+
+
+def test_filtered_min_max_early_termination(spark, tmp_path):
+    """FilteredFileStats early termination analog
+    (stats/FilteredFileStats.scala:129-143): on range-sorted chunks a
+    filtered min/max decodes only the boundary chunks, and the result
+    equals the full filtered scan's."""
+    from colcrush.engine import filtered_min_max
+
+    p = str(tmp_path / "fmm")
+    sdf = spark.range(8192).select(
+        F.col("id").alias("idx"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    write_encoded(sdf, p, range_cols=["idx"], target_chunk_rows=512)
+    audit = {}
+    mn, mx = filtered_min_max(
+        spark, p, "idx", [("idx", ">=", 1000), ("idx", "<", 7000)],
+        seed_chunks=2, audit=audit,
+    )
+    assert (mn, mx) == (1000, 6999)
+    # range-sorted: the extremes live in the seed chunks; phase 2 empty
+    assert audit["n_seed"] <= 4
+    assert audit["n_rest"] == 0
+    assert audit["n_survivors"] > audit["n_seed"], "skipping had work to skip"
+
+    # unsorted chunks on the aggregated column still give exact answers
+    audit2 = {}
+    mn2, mx2 = filtered_min_max(
+        spark, p, "v", [("idx", ">=", 1000), ("idx", "<", 1100)],
+        audit=audit2,
+    )
+    want = (
+        sdf.where((F.col("idx") >= 1000) & (F.col("idx") < 1100))
+        .agg(F.min("v"), F.max("v"))
+        .collect()[0]
+    )
+    assert (mn2, mx2) == (want[0], want[1])
