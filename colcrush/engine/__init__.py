@@ -4,6 +4,7 @@
 from .dataset import (
     read_chunks,
     register_view,
+    compact_epochs,
     read_decoded,
     read_manifest,
     read_schema,
@@ -24,6 +25,7 @@ __all__ = [
     "read_manifest",
     "read_schema",
     "read_decoded",
+    "compact_epochs",
     "register_view",
     "scan",
     "count_rows",

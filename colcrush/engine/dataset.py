@@ -107,9 +107,17 @@ def _committed_epoch_dirs(path: str) -> list[str]:
     return out
 
 
+def _direct_committed(path: str) -> bool:
+    """The base-layout dataset at ``path`` is committed iff its
+    manifest carries Spark's job-commit marker — a crashed compaction
+    or write leaves chunks without a committed manifest, and readers
+    must then keep seeing the epoch sub-datasets instead."""
+    return os.path.exists(os.path.join(path, MANIFEST_DIR, "_SUCCESS"))
+
+
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     direct = os.path.join(path, MANIFEST_DIR)
-    if os.path.exists(direct):
+    if _direct_committed(path):
         return spark.read.parquet(direct)
     epochs = _committed_epoch_dirs(path)
     if epochs:
@@ -119,12 +127,53 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
 
 def read_chunks(spark: SparkSession, path: str) -> DataFrame:
     direct = os.path.join(path, CHUNKS_DIR)
-    if os.path.exists(direct):
+    if _direct_committed(path):
         return spark.read.parquet(direct)
     epochs = _committed_epoch_dirs(path)
     if epochs:
         return spark.read.parquet(*[os.path.join(e, CHUNKS_DIR) for e in epochs])
     return spark.read.parquet(direct)
+
+
+def compact_epochs(spark: SparkSession, path: str) -> int:
+    """Compact a streaming-sink dataset (epoch=NNNNNNNN sub-datasets)
+    into the base layout — a CHUNK-LEVEL move, never a re-encode: chunk
+    payloads are already compressed and their ids are epoch-namespaced
+    (no collisions), so compaction is one distributed copy of chunk
+    rows plus the manifest. Returns the number of epochs compacted.
+
+    Crash-safe ordering: base chunks first, base manifest second (its
+    _SUCCESS marker is what flips readers from the epoch view to the
+    base view — see _direct_committed), epoch-dir cleanup last. A crash
+    at any point leaves readers on exactly one consistent view, and
+    re-running compaction completes the cleanup.
+    """
+    import shutil
+
+    epochs = _committed_epoch_dirs(path)
+    if not epochs:
+        return 0
+    if _direct_committed(path):
+        raise ValueError(
+            f"{path} already has a committed base dataset; "
+            "compacting epochs into it would double rows"
+        )
+    chunks = spark.read.parquet(*[os.path.join(e, CHUNKS_DIR) for e in epochs])
+    (
+        chunks.write.mode("overwrite")
+        .option("compression", "uncompressed")
+        .parquet(os.path.join(path, CHUNKS_DIR))
+    )
+    manifest = spark.read.parquet(
+        *[os.path.join(e, MANIFEST_DIR) for e in epochs]
+    )
+    shutil.copyfile(
+        os.path.join(epochs[0], SCHEMA_FILE), os.path.join(path, SCHEMA_FILE)
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(path, MANIFEST_DIR))
+    for e in epochs:
+        shutil.rmtree(e, ignore_errors=True)
+    return len(epochs)
 
 
 def read_decoded(

@@ -190,3 +190,28 @@ def test_embedding_neardup_finds_planted(spark, vectors):
     assert expected <= found, f"missing planted pairs: {expected - found}"
     assert all(a < 5 and b < 5 for a, b in found), f"spurious: {found}"
     assert all(r["cosine"] >= 0.99 for r in pairs)
+
+
+def test_ngram_jaccard_max_df_cutoff(spark):
+    """max_df drops ultra-common shingles from candidate generation
+    (quadratic-bucket guard at scale) without corrupting reported
+    Jaccard values: pairs sharing rare shingles keep their EXACT
+    similarity; pairs sharing only the stopword-like shingle vanish."""
+    rows = [
+        (0, "unique alpha beta common"),
+        (1, "unique alpha beta common"),   # exact dup of 0
+        (2, "other gamma delta common"),   # shares only 'common' with 0/1
+        (3, "other gamma delta common"),   # exact dup of 2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # 'common' appears in all 4 docs -> df cutoff at 3 removes it
+    pairs = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=1, threshold=0.0, max_df=3
+    ).collect()
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 1)] == 1.0 and got[(2, 3)] == 1.0  # exact, not undercounted
+    assert (0, 2) not in got and (1, 3) not in got  # only-common pairs pruned
+    # without the cutoff, the cross pairs appear with exact jaccard 1/7
+    allp = ngram_jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.0)
+    got2 = {(r["a"], r["b"]): r["jaccard"] for r in allp.collect()}
+    assert abs(got2[(0, 2)] - 1 / 7) < 1e-12

@@ -90,3 +90,45 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     )
     assert m.select("chunk_id").distinct().count() == 2 * n_per_epoch
     assert read_decoded(spark, ds).count() == 400
+
+
+def test_compact_epochs(spark, tmp_path):
+    """Chunk-level compaction of streaming epochs into the base layout:
+    row counts and decode results unchanged, epoch dirs removed, and a
+    partial (uncommitted) compaction stays invisible to readers."""
+    import os
+    import shutil
+
+    from colcrush.engine import compact_epochs, write_encoded
+    from colcrush.engine.dataset import CHUNKS_DIR, MANIFEST_DIR
+
+    ds = str(tmp_path / "ds")
+    df = source_code_df(spark, 300, n_repos=4)
+    half_a = df.where(F.col("lang") < "m")
+    half_b = df.where(F.col("lang") >= "m")
+    write_encoded(half_a, os.path.join(ds, "epoch=00000000"),
+                  mode="overwrite", group_cols=["lang"], namespace="epoch-0")
+    write_encoded(half_b, os.path.join(ds, "epoch=00000001"),
+                  mode="overwrite", group_cols=["lang"], namespace="epoch-1")
+    assert read_decoded(spark, ds).count() == 300
+
+    # a crashed compaction (chunks written, manifest not committed)
+    # leaves readers on the epoch view
+    chunks_dir = os.path.join(ds, CHUNKS_DIR)
+    os.makedirs(chunks_dir, exist_ok=True)
+    assert read_decoded(spark, ds).count() == 300
+    shutil.rmtree(chunks_dir)
+
+    n = compact_epochs(spark, ds)
+    assert n == 2
+    assert os.path.exists(os.path.join(ds, MANIFEST_DIR, "_SUCCESS"))
+    assert not [d for d in os.listdir(ds) if d.startswith("epoch=")]
+    got = read_decoded(spark, ds)
+    assert got.count() == 300
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+    # double-compaction refuses (would double rows)
+    write_encoded(half_a, os.path.join(ds, "epoch=00000009"),
+                  mode="overwrite", group_cols=["lang"], namespace="epoch-9")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="double"):
+        compact_epochs(spark, ds)
