@@ -89,3 +89,65 @@ def test_binary_column_roundtrip_any(rows):
     arr = pa.array(rows, type=pa.binary())
     out = decode_array(encode_array(arr)[0])
     assert out.to_pylist() == rows
+
+
+@_settings
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.decimals(
+                min_value=-(10**9), max_value=10**9, places=2,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        max_size=200,
+    )
+)
+def test_decimal_roundtrip_any(values):
+    arr = pa.array(values, type=pa.decimal128(12, 2))
+    blob, meta = encode_array(arr)
+    assert decode_array(blob).equals(arr)
+    if any(v is not None for v in values):
+        assert meta["codec"] != "ipc"
+
+
+@_settings
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+                max_size=20,
+            ),
+        ),
+        max_size=100,
+    )
+)
+def test_list_roundtrip_any(values):
+    arr = pa.array(values, type=pa.list_(pa.int64()))
+    blob, meta = encode_array(arr)
+    assert decode_array(blob).equals(arr)
+    assert meta["codec"] == "list"
+
+
+@_settings
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.tuples(st.integers(-(2**31), 2**31), st.text(max_size=20)),
+        ),
+        max_size=100,
+    )
+)
+def test_struct_roundtrip_any(values):
+    typ = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    arr = pa.array(
+        [None if v is None else {"a": v[0], "b": v[1]} for v in values],
+        type=typ,
+    )
+    blob, meta = encode_array(arr)
+    assert decode_array(blob).equals(arr)
+    assert meta["codec"] == "struct"
