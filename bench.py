@@ -35,12 +35,15 @@ from colcrush.session import get_spark
 HEADLINE = [
     "roundtrip_documents_sha",
     "roundtrip_lineitem_q1",
+    "roundtrip_decimal",
     "tpch_q1",
     "tpch_q3",
     "stats_grouped",
     "dedup_exact_groups",
     "minhash_dedup",
     "simhash_dedup",
+    "embedding_neardup",
+    "winnow_fingerprints",
     "ann_topk",
     "token_count",
     "quality_score",

@@ -365,8 +365,8 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    num_bands: int = 16,
-    planes_per_band: int = 4,
+    num_bands: int = 8,
+    planes_per_band: int = 12,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup: BANDED random-hyperplane LSH ->
@@ -374,11 +374,16 @@ def embedding_neardup_pairs(
 
     OR-amplification across bands fixes the round-1 recall cliff: one
     16-plane bucket finds a cosine-0.95 pair with probability
-    (1-acos(.95)/pi)^16 ~= 0.18; with 16 bands of 4 planes the miss
-    probability is (1-0.9^4)^16 ~= 4e-8. Candidates are distinct
-    (a, b) from a per-band equi-join — never an all-pairs product —
-    and only candidate pairs' vectors meet again for the exact check,
-    mirroring the MinHash banding topology above."""
+    (1-acos(.95)/pi)^16 ~= 0.18; with 8 bands of 12 planes a
+    cosine-0.99 pair is missed with probability ~1e-3 (and a 0.999
+    near-dup with ~1e-6). planes_per_band also sets PRECISION: 12
+    planes = 4096 buckets per band, so random pairs collide at ~2^-12
+    and candidate volume stays ~N x avg-bucket-size per band (an early
+    4-plane variant produced 16 buckets per band = a quadratic
+    candidate blowup at 50k vectors). Candidates are distinct (a, b)
+    from a per-band equi-join — never an all-pairs product — and only
+    candidate pairs' vectors meet again for the exact check, mirroring
+    the MinHash banding topology above."""
     from .similarity import _banded_bucket_udf, cosine_expr
 
     buckets = _banded_bucket_udf(num_bands, planes_per_band, seed)
