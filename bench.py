@@ -146,6 +146,13 @@ def main():
     profile = os.environ.get("COLCRUSH_PROFILE", "balanced")
     spark = get_spark("colcrush-bench", cores=cpus, driver_memory="48g")
 
+    # untimed warm-up: whole-stage-codegen JIT, python-worker spawn and
+    # arrow IPC paths are once-per-JVM costs a steady-state cluster job
+    # amortizes — without this the FIRST headline query absorbs them all
+    QUERIES["roundtrip_documents_sha"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     queries = {}
     for name in HEADLINE:
         fn = QUERIES[name]
