@@ -190,6 +190,44 @@ long colcrush_train(unsigned char *buf, long *pn, const unsigned char *free_code
     return nsym;
 }
 
+/* LSB-first bit packing: bit k of value i lands at stream bit i*w+k,
+   bytes filled little-endian — byte-identical to the numpy
+   packbits(bitorder='little') path. */
+void colcrush_pack_bits(const unsigned long long *v, long n, int w,
+                        unsigned char *out) {
+    unsigned long long acc = 0;
+    int nb = 0;
+    long o = 0;
+    for (long i = 0; i < n; i++) {
+        acc |= v[i] << nb;
+        nb += w;
+        while (nb >= 8) {
+            out[o++] = (unsigned char)(acc & 0xFF);
+            acc >>= 8;
+            nb -= 8;
+        }
+    }
+    if (nb > 0)
+        out[o++] = (unsigned char)(acc & 0xFF);
+}
+
+void colcrush_unpack_bits(const unsigned char *in, long n, int w,
+                          unsigned long long *out) {
+    unsigned long long acc = 0;
+    int nb = 0;
+    long ip = 0;
+    unsigned long long mask = (w == 64) ? ~0ULL : ((1ULL << w) - 1);
+    for (long i = 0; i < n; i++) {
+        while (nb < w) {
+            acc |= (unsigned long long)in[ip++] << nb;
+            nb += 8;
+        }
+        out[i] = acc & mask;
+        acc >>= w;
+        nb -= w;
+    }
+}
+
 /* Decode: expand every byte through its precomputed recursive
    expansion (flat table + starts/lens). Returns output length. */
 long colcrush_expand(const unsigned char *in, long n,
@@ -220,6 +258,16 @@ class _Kernels:
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        self._pack = lib.colcrush_pack_bits
+        self._pack.restype = None
+        self._pack.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+        ]
+        self._unpack = lib.colcrush_unpack_bits
+        self._unpack.restype = None
+        self._unpack.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+        ]
         self._banded = lib.colcrush_compress_banded
         self._banded.restype = ctypes.c_long
         self._banded.argtypes = [
@@ -241,6 +289,19 @@ class _Kernels:
             a.ctypes.data, len(a), lut.ctypes.data, out.ctypes.data
         )
         return out[:o]
+
+    def pack_bits(self, v: np.ndarray, width: int) -> bytes:
+        # 64-bit accumulator: safe for width <= 56 (caller-gated)
+        v = np.ascontiguousarray(v, dtype=np.uint64)
+        out = np.empty((len(v) * width + 7) // 8, dtype=np.uint8)
+        self._pack(v.ctypes.data, len(v), width, out.ctypes.data)
+        return out.tobytes()
+
+    def unpack_bits(self, data: bytes, width: int, n: int) -> np.ndarray:
+        buf = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(n, dtype=np.uint64)
+        self._unpack(buf.ctypes.data, n, width, out.ctypes.data)
+        return out
 
     def compress_banded(
         self, corpus: bytes, table: list[tuple[int, int, int]], band: int

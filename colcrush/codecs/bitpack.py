@@ -11,6 +11,10 @@ from __future__ import annotations
 
 import numpy as np
 
+from ._native import load as _load_native
+
+_native = _load_native()
+
 __all__ = ["bit_width", "pack_bits", "unpack_bits"]
 
 
@@ -31,6 +35,11 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if width in _FAST_WIDTHS:
         return v.astype(_FAST_WIDTHS[width]).tobytes()
+    if _native is not None and width <= 56:
+        # C accumulator kernel, byte-identical; 56-bit cap keeps the
+        # 64-bit accumulator overflow-free (wider widths are rare and
+        # take the numpy path)
+        return _native.pack_bits(v, width)
     # general path: explode to an n x width bit matrix, pack LSB-first
     shifts = np.arange(width, dtype=np.uint64)
     bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
@@ -43,6 +52,8 @@ def unpack_bits(data: bytes, width: int, n: int) -> np.ndarray:
         return np.zeros(n, dtype=np.uint64)
     if width in _FAST_WIDTHS:
         return np.frombuffer(data, dtype=_FAST_WIDTHS[width], count=n).astype(np.uint64)
+    if _native is not None and width <= 56:
+        return _native.unpack_bits(data, width, n)
     total = n * width
     bits = np.unpackbits(
         np.frombuffer(data, dtype=np.uint8), count=total, bitorder="little"
