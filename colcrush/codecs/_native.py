@@ -192,14 +192,18 @@ long colcrush_train(unsigned char *buf, long *pn, const unsigned char *free_code
 
 /* LSB-first bit packing: bit k of value i lands at stream bit i*w+k,
    bytes filled little-endian — byte-identical to the numpy
-   packbits(bitorder='little') path. */
+   packbits(bitorder='little') path. Each value is masked to the low
+   w bits (w <= 56 caller-gated), matching numpy's implicit truncation
+   of out-of-range inputs — an unmasked OR would corrupt every
+   subsequent packed value. */
 void colcrush_pack_bits(const unsigned long long *v, long n, int w,
                         unsigned char *out) {
     unsigned long long acc = 0;
+    unsigned long long mask = (1ULL << w) - 1;
     int nb = 0;
     long o = 0;
     for (long i = 0; i < n; i++) {
-        acc |= v[i] << nb;
+        acc |= (v[i] & mask) << nb;
         nb += w;
         while (nb >= 8) {
             out[o++] = (unsigned char)(acc & 0xFF);
@@ -360,11 +364,29 @@ class _Kernels:
         return out
 
 
+def _so_dir() -> str:
+    """Per-user cache dir, created 0700: the shared temp dir is
+    world-writable and the content-hash path is predictable, so another
+    local user could pre-plant a malicious .so there — dlopening it
+    would run arbitrary code inside every Spark worker. A private dir
+    plus the ownership check in load() closes that."""
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    d = os.path.join(tempfile.gettempdir(), f"colcrush-{uid}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
+
+
 def _so_path() -> str:
     tag = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
-    return os.path.join(
-        tempfile.gettempdir(), f"colcrush_native_{tag}.so"
-    )
+    return os.path.join(_so_dir(), f"colcrush_native_{tag}.so")
+
+
+def _safe_to_load(so: str) -> bool:
+    """Only dlopen files we own that nobody else can write."""
+    st = os.stat(so)
+    if hasattr(os, "geteuid") and st.st_uid != os.geteuid():
+        return False
+    return (st.st_mode & 0o022) == 0
 
 
 def _compile(so: str) -> None:
@@ -380,6 +402,7 @@ def _compile(so: str) -> None:
             capture_output=True,
             timeout=60,
         )
+        os.chmod(tmp, 0o500)  # owner read+exec only (see _safe_to_load)
         os.replace(tmp, so)  # atomic: concurrent workers race safely
     finally:
         for p in (src, tmp):
@@ -404,6 +427,9 @@ def load() -> _Kernels | None:
         so = _so_path()
         if not os.path.exists(so):
             _compile(so)
+        if not _safe_to_load(so):
+            _cached = None
+            return None
         _cached = _Kernels(ctypes.CDLL(so))
     except Exception:  # noqa: BLE001 — any failure means numpy fallback
         _cached = None

@@ -38,7 +38,9 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     if _native is not None and width <= 56:
         # C accumulator kernel, byte-identical; 56-bit cap keeps the
         # 64-bit accumulator overflow-free (wider widths are rare and
-        # take the numpy path)
+        # take the numpy path). The kernel masks each value to the low
+        # `width` bits, matching the numpy paths' implicit truncation
+        # of out-of-range inputs (native==numpy byte identity).
         return _native.pack_bits(v, width)
     # general path: explode to an n x width bit matrix, pack LSB-first
     shifts = np.arange(width, dtype=np.uint64)

@@ -697,8 +697,15 @@ def _dec_struct(payload: bytes, t: pa.DataType, mask) -> pa.Array:
 def _enc_map(nn: pa.Array, profile: str) -> bytes:
     offs = nn.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     lengths = np.diff(offs)
-    keys, _ = encode_array(nn.keys, profile=profile)
-    items, _ = encode_array(nn.items, profile=profile)
+    # nn.keys / nn.items return the FULL child arrays regardless of the
+    # map array's slice window, while nn.offsets is already windowed —
+    # slice the children to [offs[0], offs[-1]) or a sliced MapArray
+    # (also reached via list<map>.flatten() / struct<map>.field())
+    # round-trips to the wrong entries.
+    start = int(offs[0]) if len(offs) else 0
+    stop = int(offs[-1]) if len(offs) else start
+    keys, _ = encode_array(nn.keys.slice(start, stop - start), profile=profile)
+    items, _ = encode_array(nn.items.slice(start, stop - start), profile=profile)
     return (
         _blk(encode_ints_best(lengths.astype(np.int64)))
         + _blk(keys)

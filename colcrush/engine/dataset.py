@@ -135,6 +135,19 @@ def read_chunks(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(direct)
 
 
+COMPACTED_FILE = "_compacted.json"
+
+
+def _absorbed_epochs(path: str) -> list[str] | None:
+    """Epoch dir basenames recorded as absorbed by a compaction, or
+    None when no compaction record exists."""
+    p = os.path.join(path, COMPACTED_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["epochs"]
+
+
 def compact_epochs(spark: SparkSession, path: str) -> int:
     """Compact a streaming-sink dataset (epoch=NNNNNNNN sub-datasets)
     into the base layout — a CHUNK-LEVEL move, never a re-encode: chunk
@@ -142,22 +155,42 @@ def compact_epochs(spark: SparkSession, path: str) -> int:
     (no collisions), so compaction is one distributed copy of chunk
     rows plus the manifest. Returns the number of epochs compacted.
 
-    Crash-safe ordering: base chunks first, base manifest second (its
-    _SUCCESS marker is what flips readers from the epoch view to the
-    base view — see _direct_committed), epoch-dir cleanup last. A crash
-    at any point leaves readers on exactly one consistent view, and
-    re-running compaction completes the cleanup.
+    Crash-safe ordering: base chunks first, then the _compacted.json
+    record of which epoch dirs the base absorbs, then the base manifest
+    (its _SUCCESS marker is what flips readers from the epoch view to
+    the base view — see _direct_committed), epoch-dir cleanup last. A
+    crash at any point leaves readers on exactly one consistent view;
+    re-running compaction after a crash between the manifest commit and
+    the cleanup deletes exactly the recorded absorbed dirs (returns 0).
+    Epochs NOT in the record with a committed base present are an
+    inconsistent state (a sink kept writing past compaction — the
+    encode sink refuses to, see streaming/encode_sink.py) and raise.
     """
     import shutil
 
     epochs = _committed_epoch_dirs(path)
+    if _direct_committed(path):
+        # resume of the cleanup phase: delete only what the base absorbs
+        absorbed = _absorbed_epochs(path)
+        if absorbed is None and epochs:
+            raise ValueError(
+                f"{path} has a committed base dataset but no compaction "
+                "record — cannot tell whether the remaining epoch dirs "
+                "are absorbed (safe to delete) or contain unmerged data"
+            )
+        leftover = [e for e in epochs if os.path.basename(e) not in (absorbed or [])]
+        if leftover:
+            raise ValueError(
+                f"{path} has epochs written AFTER compaction "
+                f"({[os.path.basename(e) for e in leftover]}); their data "
+                "is invisible to base-view readers — move them to a fresh "
+                "dataset path and compact there"
+            )
+        for e in epochs:
+            shutil.rmtree(e, ignore_errors=True)
+        return 0
     if not epochs:
         return 0
-    if _direct_committed(path):
-        raise ValueError(
-            f"{path} already has a committed base dataset; "
-            "compacting epochs into it would double rows"
-        )
     chunks = spark.read.parquet(*[os.path.join(e, CHUNKS_DIR) for e in epochs])
     (
         chunks.write.mode("overwrite")
@@ -170,6 +203,10 @@ def compact_epochs(spark: SparkSession, path: str) -> int:
     shutil.copyfile(
         os.path.join(epochs[0], SCHEMA_FILE), os.path.join(path, SCHEMA_FILE)
     )
+    rec_tmp = os.path.join(path, COMPACTED_FILE + ".tmp")
+    with open(rec_tmp, "w") as f:
+        json.dump({"epochs": [os.path.basename(e) for e in epochs]}, f)
+    os.replace(rec_tmp, os.path.join(path, COMPACTED_FILE))
     manifest.write.mode("overwrite").parquet(os.path.join(path, MANIFEST_DIR))
     for e in epochs:
         shutil.rmtree(e, ignore_errors=True)

@@ -78,22 +78,29 @@ def _stat_str_max(v) -> str | None:
 
 
 def _stat_num(v, toward: float = 0.0) -> float | None:
-    """Numeric stat as double. Decimal values widen one ulp toward
-    ``toward`` (-inf for mins, +inf for maxes): float(Decimal) rounds
-    to nearest, which could otherwise shrink the range and wrongly
-    prune a chunk whose extreme sits exactly on a filter boundary."""
+    """Numeric stat as double. Values that a double can't represent
+    exactly widen one ulp toward ``toward`` (-inf for mins, +inf for
+    maxes): float() rounds to nearest, which could otherwise SHRINK the
+    range and wrongly prune a chunk whose extreme sits exactly on a
+    filter boundary. Applies to Decimal stats and to ints beyond 2**53
+    (an int64 min can round UP to the filter value and be skipped)."""
     if v is None or isinstance(v, str):
         return None
     import decimal
+    import math
 
     is_dec = isinstance(v, decimal.Decimal)
     try:
         f = float(v)
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, OverflowError):
         return None
-    if is_dec and f == f:  # widen exact-decimal bounds, skip NaN
-        import math
-
+    if f != f:  # NaN stat: leave as-is (never widened)
+        return f
+    if is_dec:
+        f = math.nextafter(f, toward)
+    elif isinstance(v, int) and abs(v) > (1 << 53) and (
+        not math.isfinite(f) or int(f) != v
+    ):
         f = math.nextafter(f, toward)
     return f
 

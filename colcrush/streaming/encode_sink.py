@@ -26,7 +26,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
-from ..engine.dataset import MANIFEST_DIR, write_encoded
+from ..engine.dataset import MANIFEST_DIR, _direct_committed, write_encoded
 
 
 def encoded_stream_sink(
@@ -44,6 +44,15 @@ def encoded_stream_sink(
     Returns the StreamingQuery."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if _direct_committed(path):
+            # a committed compacted base short-circuits the epoch view,
+            # so any epoch written now would be silently invisible to
+            # readers — refuse instead of losing data
+            raise RuntimeError(
+                f"{path} has a committed compacted base dataset; "
+                "streaming epochs written now would be invisible to "
+                "readers. Point the sink at a fresh dataset path."
+            )
         epoch_path = os.path.join(path, f"epoch={int(epoch_id):08d}")
         if os.path.exists(os.path.join(epoch_path, MANIFEST_DIR, "_SUCCESS")):
             return  # replay of a fully committed epoch: idempotent no-op

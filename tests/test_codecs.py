@@ -327,6 +327,96 @@ def test_nested_codec_roundtrip():
     assert decode_array(blob).equals(big)
 
 
+def test_sliced_nested_arrays_roundtrip():
+    """encode_array is public API over plain Arrow arrays: a SLICED
+    MapArray (whose .keys/.items ignore the slice window while .offsets
+    honor it) must round-trip the sliced entries, not the array head —
+    also reached via list<map>.flatten() and struct<map>.field()."""
+    import pyarrow as pa
+
+    from colcrush.codecs import decode_array, encode_array
+
+    m = pa.array(
+        [{"a": 1}, {"b": 2}, {"c": 3}, {"d": 4, "e": 5}, {"f": 6}],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    cases = [
+        m.slice(2, 2),
+        m.slice(4),
+        m.slice(0, 0),
+        pa.array([[{"k": 1}], [{"k": 2}], [{"k": 3}, {"k": 4}]],
+                 type=pa.list_(pa.map_(pa.string(), pa.int64()))).slice(1, 2),
+        pa.array([{"x": i, "m": {"k": i}} for i in range(5)],
+                 type=pa.struct([("x", pa.int64()),
+                                 ("m", pa.map_(pa.string(), pa.int64()))])
+                 ).slice(1, 3),
+        pa.array([[1, 2], [3], [4, 5, 6], [7]],
+                 type=pa.list_(pa.int64())).slice(1, 2),
+        pa.array([{"a": 1}, None, {"c": 3}, {"d": 4}],
+                 type=pa.map_(pa.string(), pa.int64())).slice(1, 3),
+    ]
+    for i, arr in enumerate(cases):
+        blob, _ = encode_array(arr)
+        got = decode_array(blob)
+        assert got.to_pylist() == arr.to_pylist(), f"case {i}"
+
+
+def test_pack_bits_out_of_range_native_matches_numpy():
+    """pack_bits is public: values >= 2**width must truncate to the low
+    bits identically on the native and numpy paths (the C kernel masks;
+    numpy truncates implicitly) — out-of-range input may never corrupt
+    subsequent packed values."""
+    import os
+
+    from colcrush.codecs import _native as native_mod
+
+    v = np.array([5, (1 << 12) | 3, (1 << 40) | 7, 2], dtype=np.uint64)
+    for width in (3, 5, 11, 17, 33):
+        expect = pack_bits(v & np.uint64((1 << width) - 1), width)
+        got = pack_bits(v, width)
+        assert got == expect, f"width {width}"
+        if native_mod.load() is not None and os.environ.get(
+            "COLCRUSH_NATIVE", "1"
+        ) != "0":
+            assert native_mod.load().pack_bits(v, width) == expect
+
+
+def test_stat_num_int_beyond_2_53_widens():
+    """int64 stats beyond 2**53 lose precision as doubles; the stored
+    bound must widen one ulp outward so range pruning never drops a
+    chunk whose true extreme beats the filter value."""
+    import math
+
+    from colcrush.engine.encoder import _stat_num
+
+    v = (1 << 60) + 1  # rounds to 2**60 as a double
+    lo = _stat_num(v, toward=float("-inf"))
+    hi = _stat_num(v, toward=float("inf"))
+    assert lo < v < hi
+    # exactly representable ints stay exact
+    assert _stat_num(1 << 60, toward=float("-inf")) == float(1 << 60)
+    assert _stat_num(42, toward=float("-inf")) == 42.0
+    # decimal behavior unchanged
+    import decimal
+    d = decimal.Decimal("1.10")
+    assert _stat_num(d, toward=float("-inf")) == math.nextafter(float(d), float("-inf"))
+
+
+def test_native_so_refuses_unsafe_file(tmp_path, monkeypatch):
+    """The .so loader must not dlopen a library another user could have
+    planted: wrong owner or group/other-writable bits are rejected."""
+    import os
+
+    from colcrush.codecs import _native as native_mod
+
+    p = tmp_path / "x.so"
+    p.write_bytes(b"not a real so")
+    os.chmod(p, 0o755)  # group/other readable but not writable — ok bits
+    assert native_mod._safe_to_load(str(p))
+    os.chmod(p, 0o777)  # world-writable — must refuse
+    assert not native_mod._safe_to_load(str(p))
+
+
 def test_user_registered_value_codec():
     """ValueCodec analog (/root/reference/core/.../ValueCodec.scala,
     examples/.../CustomType.scala): a user-registered codec maps a

@@ -126,9 +126,66 @@ def test_compact_epochs(spark, tmp_path):
     got = read_decoded(spark, ds)
     assert got.count() == 300
     assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
-    # double-compaction refuses (would double rows)
+    # compacting again with no epochs is a no-op
+    assert compact_epochs(spark, ds) == 0
+    # an epoch written AFTER compaction is invisible to base-view
+    # readers — compaction refuses loudly instead of deleting it
     write_encoded(half_a, os.path.join(ds, "epoch=00000009"),
                   mode="overwrite", group_cols=["lang"], namespace="epoch-9")
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="double"):
+    with _pytest.raises(ValueError, match="AFTER compaction"):
         compact_epochs(spark, ds)
+
+
+def test_compact_epochs_crash_cleanup_resumes(spark, tmp_path):
+    """A crash between the base-manifest commit and the epoch-dir
+    cleanup leaves absorbed epoch dirs behind; re-running compaction
+    completes the cleanup (deletes exactly the recorded absorbed dirs)
+    instead of raising."""
+    import json
+    import os
+
+    from colcrush.engine import compact_epochs, write_encoded
+    from colcrush.engine.dataset import COMPACTED_FILE
+
+    ds = str(tmp_path / "ds")
+    df = source_code_df(spark, 200, n_repos=3)
+    ep0 = os.path.join(ds, "epoch=00000000")
+    write_encoded(df, ep0, mode="overwrite", group_cols=["lang"],
+                  namespace="epoch-0")
+    assert compact_epochs(spark, ds) == 1
+    # simulate the crash: recreate the absorbed epoch dir post-commit
+    write_encoded(df, ep0, mode="overwrite", group_cols=["lang"],
+                  namespace="epoch-0")
+    rec = json.load(open(os.path.join(ds, COMPACTED_FILE)))
+    assert rec["epochs"] == ["epoch=00000000"]
+    assert compact_epochs(spark, ds) == 0  # cleanup, not an error
+    assert not os.path.exists(ep0)
+    assert read_decoded(spark, ds).count() == 200
+
+
+def test_sink_refuses_committed_base(spark, tmp_path):
+    """The encode sink must refuse to write epochs into a dataset with a
+    committed compacted base — those epochs would be invisible to
+    readers (the base view short-circuits the epoch view)."""
+    import os
+
+    import pytest as _pytest
+
+    from colcrush.engine import compact_epochs, write_encoded
+
+    ds = str(tmp_path / "ds")
+    ck = str(tmp_path / "ck")
+    src_dir = str(tmp_path / "in")
+    df = source_code_df(spark, 100, n_repos=2)
+    write_encoded(df, os.path.join(ds, "epoch=00000000"),
+                  mode="overwrite", group_cols=["lang"], namespace="epoch-0")
+    assert compact_epochs(spark, ds) == 1
+
+    df.write.parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    q = encoded_stream_sink(stream, ds, ck, group_cols=["lang"])
+    with _pytest.raises(Exception, match="committed compacted base"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    assert read_decoded(spark, ds).count() == 100  # base untouched
