@@ -1,19 +1,21 @@
 """Optional C acceleration for the FSST-style codec hot loops.
 
-The numpy implementation in fsst.py is the canonical, always-available
-path; this module compiles (with the system C compiler, if present) a
-tiny kernel for the two memory-bound inner loops — one greedy
-pair-substitution pass and the decode byte-expansion — and exposes it
-via ctypes. Both kernels implement EXACTLY the semantics of their numpy
-counterparts (greedy left-to-right pair matching == even-offset-in-run
-selection; decode = flat-table gather), so encoded bytes are identical
-whichever path runs; tests/test_codecs.py asserts this equivalence.
+The numpy/stdlib implementation in fsst.py is the canonical,
+always-available path; this module compiles (with the system C
+compiler, if present) kernels for the inner loops — BPE training,
+greedy longest-match encode, decode byte-expansion, presence scan,
+bit packing — and exposes them via ctypes. Every kernel implements
+EXACTLY the semantics of its Python counterpart (training counts ==
+full recount of the shrinking sample; greedy encode == longest-match,
+fixed candidate order), so encoded bytes are identical whichever path
+runs; tests/test_codecs.py asserts this equivalence.
 
 No third-party installs: the C source is embedded here (so it travels
 inside the --py-files zip to every executor), compiled once per host
-into a content-addressed .so under the system temp dir, and loaded with
-ctypes. Any failure (no compiler, sandboxed tmp, exotic platform)
-degrades silently to the numpy path. Set COLCRUSH_NATIVE=0 to disable.
+into a content-addressed .so under a per-user temp dir, and loaded
+with ctypes after an ownership check. Any failure (no compiler,
+sandboxed tmp, exotic platform) degrades silently to the Python path.
+Set COLCRUSH_NATIVE=0 to disable.
 """
 
 from __future__ import annotations
@@ -29,159 +31,137 @@ import numpy as np
 _SRC = r"""
 #include <string.h>
 
-/* One greedy left-to-right pair-substitution pass.
-   lut: 65536 int32, code >= 0 or -1. Returns output length.
-   Semantics match the numpy even-offset-in-run rule: at a match,
-   consume two bytes (skipping any overlapping match at i+1); new pairs
-   formed by this pass's replacements are NOT matched within the pass. */
-long colcrush_apply_pass(const unsigned char *in, long n, const int *lut,
-                         unsigned char *out) {
+/* Mark which byte values occur in `in` (free-code detection). */
+void colcrush_presence(const unsigned char *in, long n, unsigned char *out) {
+    for (long i = 0; i < n; i++)
+        out[in[i]] = 1;
+}
+
+/* Greedy longest-match encode: at each position try the candidate
+   symbols whose expansion starts with the next two bytes (chained via
+   head/nxt in global order = length desc, expansion bytes asc), emit
+   the first (= longest) full match's 1-byte code and skip its length,
+   else emit the literal byte. Codes are byte values absent from the
+   original corpus, so literals never collide and no escaping is
+   needed. Identical semantics to the Python re-alternation fallback.
+   Returns output length (<= n: every token maps >=1 input byte to
+   exactly 1 output byte). */
+long colcrush_compress_greedy(const unsigned char *in, long n,
+                              const unsigned char *exps, const long *starts,
+                              const long *lens, const unsigned char *codes,
+                              const int *head, const int *nxt,
+                              unsigned char *out) {
     long i = 0, o = 0;
     while (i + 1 < n) {
-        int code = lut[((unsigned)in[i] << 8) | in[i + 1]];
-        if (code >= 0) {
-            out[o++] = (unsigned char)code;
-            i += 2;
-        } else {
-            out[o++] = in[i++];
+        unsigned pair = ((unsigned)in[i] << 8) | in[i + 1];
+        int s = head[pair];
+        while (s >= 0) {
+            long L = lens[s];
+            if (L <= n - i &&
+                (L == 2 ||
+                 memcmp(in + i + 2, exps + starts[s] + 2, (size_t)(L - 2)) == 0)) {
+                out[o++] = codes[s];
+                i += L;
+                break;
+            }
+            s = nxt[s];
         }
+        if (s < 0)
+            out[o++] = in[i++];
     }
     if (i < n)
         out[o++] = in[i];
     return o;
 }
 
-/* One in-place greedy pass (same semantics as colcrush_apply_pass).
-   Writing at o <= i never clobbers unread input, so buf serves as both
-   source and destination. Returns new length. */
-static long apply_inplace(unsigned char *buf, long n, const int *lut) {
-    long i = 0, o = 0;
-    while (i + 1 < n) {
-        int code = lut[((unsigned)buf[i] << 8) | buf[i + 1]];
-        if (code >= 0) {
-            buf[o++] = (unsigned char)code;
-            i += 2;
-        } else {
-            buf[o++] = buf[i++];
-        }
-    }
-    if (i < n)
-        buf[o++] = buf[i];
-    return o;
-}
-
-/* Whole priority-banded compression in one call: symbols (3 bytes
-   each, application order) join the LUT `band` at a time; each band
-   converges (<=4 passes, early-break when a pass shrinks less than
-   max(32, n/1024)), then a final sweep of <=16 passes. Byte-identical
-   to the Python band loop in fsst.py. Returns final length. */
-long colcrush_compress_banded(unsigned char *buf, long n,
-                              const unsigned char *table, long nsym,
-                              long band, int *lut) {
-    for (long p = 0; p < 65536; p++)
-        lut[p] = -1;
-    for (long k = 0; k < nsym; k += band) {
-        long end = k + band < nsym ? k + band : nsym;
-        for (long s = k; s < end; s++) {
-            unsigned char code = table[s * 3];
-            unsigned x = table[s * 3 + 1], y = table[s * 3 + 2];
-            lut[(x << 8) | y] = code;
-        }
-        for (int pass = 0; pass < 4; pass++) {
-            if (n < 2)
-                break;
-            long before = n;
-            n = apply_inplace(buf, n, lut);
-            long thresh = before >> 10;
-            if (thresh < 32)
-                thresh = 32;
-            if (before - n < thresh)
-                break;
-        }
-    }
-    for (int pass = 0; pass < 16; pass++) {
-        if (n < 2)
-            break;
-        long before = n;
-        n = apply_inplace(buf, n, lut);
-        long thresh = before >> 10;
-        if (thresh < 32)
-            thresh = 32;
-        if (before - n < thresh)
-            break;
-    }
-    return n;
-}
-
-/* Full training loop: repeatedly count adjacent byte pairs over the
-   (shrinking) sample, pick the most frequent (FIRST max — ties break
-   toward the numerically lowest pair, matching np.argmax), replace it
-   in-place with the next free code, and record (code, x, y).
-   Semantics identical to the numpy train loop in fsst.py.
-   free: list of free codes in application order; n_free entries.
-   Returns number of symbols written to out_table (3 bytes each).
-   sample_len is updated through pn. */
+/* Full BPE training loop: repeatedly pick the most frequent adjacent
+   byte pair (FIRST max — ties break toward the numerically lowest
+   pair, matching np.argmax), replace it in-place with the next free
+   code, and record (code, x, y). Counts are maintained INCREMENTALLY
+   during the replace pass (deltas at replacement sites and token
+   junctions only), which is provably equal to a full recount of the
+   new buffer — the numpy fallback recounts with bincount and must
+   produce the identical table. free: list of free codes in
+   application order. Returns number of symbols written to out_table
+   (3 bytes each); *pn is updated to the residual sample length. */
 long colcrush_train(unsigned char *buf, long *pn, const unsigned char *free_codes,
                     long n_free, long floor_count, double scale,
-                    long min_gain, long max_symbols, long *counts,
+                    long min_gain, long max_symbols, int *counts,
                     unsigned char *out_table) {
     long n = *pn;
     long nsym = 0;
-    /* second counter bank: interleaving two independent increment
-       streams breaks the store-to-load dependency chain of the
-       random-index histogram (measurably ~1.5x on this loop) */
-    long *counts2 = counts + 65536;
+    memset(counts, 0, 65536 * sizeof(int));
+    for (long i = 0; i + 1 < n; i++)
+        counts[((unsigned)buf[i] << 8) | buf[i + 1]]++;
     for (long s = 0; s < max_symbols && s < n_free; s++) {
         if (n < 2)
             break;
-        memset(counts, 0, 2 * 65536 * sizeof(long));
-        long m = n - 1;
-        long i = 0;
-        for (; i + 1 < m; i += 2) {
-            counts[((unsigned)buf[i] << 8) | buf[i + 1]]++;
-            counts2[((unsigned)buf[i + 1] << 8) | buf[i + 2]]++;
-        }
-        for (; i < m; i++)
-            counts[((unsigned)buf[i] << 8) | buf[i + 1]]++;
-        long best = 0, bc = counts[0] + counts2[0];
+        long best = 0, bc = counts[0];
         for (long p = 1; p < 65536; p++) {
-            long c = counts[p] + counts2[p];
-            if (c > bc) { bc = c; best = p; }
+            if (counts[p] > bc) { bc = counts[p]; best = p; }
         }
         if (bc < floor_count || (double)bc * scale < (double)(min_gain + 3))
             break;
         unsigned char x = (unsigned char)(best >> 8), y = (unsigned char)(best & 0xFF);
-        unsigned char code = free_codes[s];
+        unsigned char c = free_codes[s];
         /* greedy L2R non-overlapping replace, in place: memchr (SIMD)
            jumps to candidate positions, memmove bulk-copies the
-           unmatched gaps — same output as the byte-at-a-time loop */
-        long o = 0;
-        i = 0;
+           unmatched gaps. prev_old = old-buffer byte before position i
+           (read before any overwrite); last = previous OUTPUT byte.
+           At each token start the junction pair flips from
+           (prev_old, old_first) to (last, new_first); inside copied
+           runs nothing changes; each replacement removes (x,y). */
+        long o = 0, i = 0;
+        int prev_old = -1, last = -1;
         while (i + 1 < n) {
             const unsigned char *p =
                 (const unsigned char *)memchr(buf + i, x, (size_t)(n - 1 - i));
-            if (p == NULL) {
+            if (p == NULL)
                 break;
-            }
             long j = (long)(p - buf);
             if (j > i) {
+                unsigned char first = buf[i], lastb = buf[j - 1];
+                if (last >= 0 && last != prev_old) {
+                    counts[((unsigned)prev_old << 8) | first]--;
+                    counts[((unsigned)last << 8) | first]++;
+                }
                 memmove(buf + o, buf + i, (size_t)(j - i));
                 o += j - i;
                 i = j;
+                prev_old = lastb;
+                last = lastb;
             }
             if (buf[i + 1] == y) {
-                buf[o++] = code;
+                if (last >= 0) {
+                    counts[((unsigned)prev_old << 8) | x]--;
+                    counts[((unsigned)last << 8) | c]++;
+                }
+                counts[best]--;
+                buf[o++] = c;
+                prev_old = y;
+                last = c;
                 i += 2;
             } else {
-                buf[o++] = buf[i++];
+                if (last >= 0 && last != prev_old) {
+                    counts[((unsigned)prev_old << 8) | x]--;
+                    counts[((unsigned)last << 8) | x]++;
+                }
+                buf[o++] = x;
+                prev_old = x;
+                last = x;
+                i++;
             }
         }
         if (i < n) {
+            if (last >= 0 && last != prev_old) {
+                counts[((unsigned)prev_old << 8) | buf[i]]--;
+                counts[((unsigned)last << 8) | buf[i]]++;
+            }
             memmove(buf + o, buf + i, (size_t)(n - i));
             o += n - i;
         }
         n = o;
-        out_table[nsym * 3] = code;
+        out_table[nsym * 3] = c;
         out_table[nsym * 3 + 1] = x;
         out_table[nsym * 3 + 2] = y;
         nsym++;
@@ -251,10 +231,15 @@ long colcrush_expand(const unsigned char *in, long n,
 
 class _Kernels:
     def __init__(self, lib: ctypes.CDLL):
-        self._apply = lib.colcrush_apply_pass
-        self._apply.restype = ctypes.c_long
-        self._apply.argtypes = [
+        self._presence = lib.colcrush_presence
+        self._presence.restype = None
+        self._presence.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+        self._greedy = lib.colcrush_compress_greedy
+        self._greedy.restype = ctypes.c_long
+        self._greedy.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
         ]
         self._expand = lib.colcrush_expand
         self._expand.restype = ctypes.c_long
@@ -272,12 +257,6 @@ class _Kernels:
         self._unpack.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
         ]
-        self._banded = lib.colcrush_compress_banded
-        self._banded.restype = ctypes.c_long
-        self._banded.argtypes = [
-            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
-            ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
-        ]
         self._train = lib.colcrush_train
         self._train.restype = ctypes.c_long
         self._train.argtypes = [
@@ -286,13 +265,31 @@ class _Kernels:
             ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
         ]
 
-    def apply_pass(self, a: np.ndarray, lut: np.ndarray) -> np.ndarray:
-        a = np.ascontiguousarray(a)
-        out = np.empty(len(a), dtype=np.uint8)
-        o = self._apply(
-            a.ctypes.data, len(a), lut.ctypes.data, out.ctypes.data
+    def presence(self, data: bytes) -> np.ndarray:
+        buf = np.frombuffer(data, dtype=np.uint8)
+        out = np.zeros(256, dtype=np.uint8)
+        self._presence(buf.ctypes.data, len(buf), out.ctypes.data)
+        return out.astype(bool)
+
+    def compress_greedy(
+        self,
+        corpus: bytes,
+        exps: bytes,
+        starts: np.ndarray,
+        lens: np.ndarray,
+        codes: np.ndarray,
+        head: np.ndarray,
+        nxt: np.ndarray,
+    ) -> bytes:
+        inb = np.frombuffer(corpus, dtype=np.uint8)
+        eb = np.frombuffer(exps, dtype=np.uint8)
+        out = np.empty(len(inb), dtype=np.uint8)
+        n = self._greedy(
+            inb.ctypes.data, len(inb), eb.ctypes.data, starts.ctypes.data,
+            lens.ctypes.data, codes.ctypes.data, head.ctypes.data,
+            nxt.ctypes.data, out.ctypes.data,
         )
-        return out[:o]
+        return out[:n].tobytes()
 
     def pack_bits(self, v: np.ndarray, width: int) -> bytes:
         # 64-bit accumulator: safe for width <= 56 (caller-gated)
@@ -307,20 +304,6 @@ class _Kernels:
         self._unpack(buf.ctypes.data, n, width, out.ctypes.data)
         return out
 
-    def compress_banded(
-        self, corpus: bytes, table: list[tuple[int, int, int]], band: int
-    ) -> bytes:
-        buf = np.frombuffer(corpus, dtype=np.uint8).copy()
-        tb = np.array(
-            [b for sym in table for b in sym], dtype=np.uint8
-        )
-        lut = np.empty(65536, dtype=np.int32)
-        n = self._banded(
-            buf.ctypes.data, len(buf), tb.ctypes.data, len(table), band,
-            lut.ctypes.data,
-        )
-        return buf[:n].tobytes()
-
     def train(
         self,
         sample: bytes,
@@ -329,10 +312,10 @@ class _Kernels:
         scale: float,
         min_gain: int,
         max_symbols: int,
-    ) -> list[tuple[int, int, int]]:
+    ) -> tuple[list[tuple[int, int, int]], bytes]:
         buf = np.frombuffer(sample, dtype=np.uint8).copy()
         free = np.array(free_codes, dtype=np.uint8)
-        counts = np.empty(2 * 65536, dtype=np.int64)  # two interleaved banks
+        counts = np.empty(65536, dtype=np.int32)
         out = np.empty(3 * max(1, max_symbols), dtype=np.uint8)
         n = ctypes.c_long(len(buf))
         nsym = self._train(

@@ -459,8 +459,8 @@ def _choose(
         # are exactly where encode throughput matters
         if kernel_cache is not None and "fsst" in kernel_cache and len(blob) >= 1024:
             table, ref_ratio = kernel_cache["fsst"]
-            counts = np.bincount(np.frombuffer(blob, dtype=np.uint8), minlength=256)
-            if not any(counts[code] for code, _, _ in table):
+            present = fsst_mod._presence(blob)
+            if not any(present[code] for code, _, _ in table):
                 comp = fsst_mod.compress(blob, table)
                 ratio = len(comp) / max(1, len(blob))
                 if ratio <= ref_ratio * 1.15:
@@ -468,11 +468,24 @@ def _choose(
                     if len(payload) < plain_size:
                         return FSST, payload, extra
             del kernel_cache["fsst"]  # stale — retrain below
-        dict_est = _dict_estimate(nn) if allow_dict else None
+        # gate the full-column dictionary_encode behind a 4096-row
+        # probe: on high-cardinality long text (the FSST home turf) the
+        # full estimate costs a pass over every byte just to learn that
+        # dict loses. The probe is a deterministic prefix, so codec
+        # choice stays a pure function of the chunk bytes.
+        dict_plausible = allow_dict
+        if allow_dict and len(nn) > 4096:
+            dict_plausible = _dict_estimate(nn.slice(0, 4096)) is not None
+        dict_est = _dict_estimate(nn) if dict_plausible else None
         if dict_est is not None:
             candidates.append((dict_est, DICT))
         fsst_table = fsst_comp = None
-        if len(blob) >= 1024:
+        # skip FSST training when the dictionary already beats plain by
+        # 8x: symbol compression never reaches 1/8 on value bytes a
+        # dictionary collapses that hard (measured floor ~0.2 on
+        # templated code), so the training pass would be pure waste
+        skip_fsst = dict_est is not None and dict_est * 8 < plain_size
+        if len(blob) >= 1024 and not skip_fsst:
             fsst_est, fsst_table, fsst_comp = _fsst_estimate(lengths, blob, profile)
             if fsst_est is not None:
                 candidates.append((fsst_est, FSST))
@@ -611,17 +624,15 @@ def _dict_estimate(nn: pa.Array) -> int | None:
 def _fsst_estimate(
     lengths: np.ndarray, blob: bytes, profile: str
 ) -> tuple[int | None, list | None, bytes | None]:
-    """Train ONCE on a sample; return (size estimate, table, and —
-    when the sample is the whole blob — the compressed bytes). Both are
-    reused for the final encode so training/compression cost is paid
-    once per chunk."""
+    """Train ONCE on a sample; return (size estimate, table, None).
+    Training substitutes each learned symbol into the sample as it
+    goes, so the residual's length IS the size estimate for free (the
+    greedy encoder lands within ~2% of the sequential ratio on text);
+    the table is reused for the final encode so training cost is paid
+    once per chunk. The payload itself always comes from the greedy
+    encoder (one code path, bytes a pure function of (blob, table))."""
     cap, max_symbols, frac = _FSST_PROFILE.get(profile, _FSST_PROFILE["balanced"])
-    full = len(blob) <= cap
-    sample = blob if full else blob[:cap]
-    # training substitutes each learned symbol into the sample as it
-    # goes, so the residual IS the compressed sample — no extra
-    # compress() pass for the estimate, and when sample == blob the
-    # residual doubles as the final payload (valid codes decode exactly)
+    sample = blob if len(blob) <= cap else blob[:cap]
     table, residual = fsst_mod.train_with_residual(
         blob, sample=sample, max_symbols=max_symbols, min_count_frac=frac
     )
@@ -629,7 +640,7 @@ def _fsst_estimate(
         return None, None, None
     ratio = len(residual) / max(1, len(sample))
     est = int(ratio * len(blob)) + 3 * len(table) + len(lengths) * 1 + 64
-    return est, table, (residual if full else None)
+    return est, table, None
 
 
 def _enc_dict(nn: pa.Array, profile: str, extra: dict) -> tuple[bytes, dict]:

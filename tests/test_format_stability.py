@@ -51,7 +51,7 @@ def test_encoded_blob_stable():
 
 # --- goldens (regenerate with scripts/regen_goldens.py) ---
 _FIXTURE_SHA = "f982717d332a2a678d293a8bfe5f0a2605d24041757978dc8e37d155934be616"
-_BLOB_GOLDENS = {'content': ('fsst', '4c7b04c555c568b5'), 'lang': ('dict', '0da15ed86f3b5f8a'), 'path': ('fsst', '75468f6831610ace')}
+_BLOB_GOLDENS = {'content': ('fsst', 'd0b7b9e7ab31593e'), 'lang': ('dict', '0da15ed86f3b5f8a'), 'path': ('fsst', '53c0766fabc731cc')}
 
 
 def test_decimal_blob_stable():
@@ -72,3 +72,26 @@ def test_decimal_blob_stable():
 
 
 _DECIMAL_GOLDEN = ('ints', '8a1f85eea33efe93')
+
+
+def test_legacy_blob_decodes():
+    """DECODE-side stability: blobs persisted by the round-2 encoder
+    (iterated pair-substitution FSST) must keep decoding byte-for-byte
+    after encoder changes — decode depends only on the serialized
+    table, never on the encode strategy, so datasets written by any
+    prior engine version stay readable without re-encoding."""
+    import os
+
+    from colcrush.fixtures import source_code_table
+
+    d = os.path.join(os.path.dirname(__file__), "data")
+    blob = open(os.path.join(d, "legacy_fsst_blob_r2.bin"), "rb").read()
+    got = decode_array(blob)
+    want = source_code_table(60, n_repos=5).column("content").combine_chunks()
+    assert got.to_pylist() == want.to_pylist()
+    sha = hashlib.sha256("".join(got.to_pylist()).encode()).hexdigest()
+    assert sha == "5edaf26c9eb0216d70de573b0b0fbeff704cd060636a8eacdaf2f18f8bf047b2"
+
+    iblob = open(os.path.join(d, "legacy_ints_blob_r2.bin"), "rb").read()
+    iarr = decode_array(iblob)
+    assert iarr.to_pylist() == [i * 37 % 1000 for i in range(2000)] + [None]
