@@ -48,6 +48,7 @@ LIST = 7
 STRUCT = 8
 MAP = 9
 CUSTOM = 10
+DEC128 = 11
 
 CODEC_NAMES = {
     PLAIN_FIXED: "plain",
@@ -61,6 +62,7 @@ CODEC_NAMES = {
     STRUCT: "struct",
     MAP: "map",
     CUSTOM: "custom",
+    DEC128: "dec128",
 }
 
 # ------------------------------------------------- user codec registry
@@ -343,7 +345,9 @@ def encode_array(
     # megabytes of strings costs a full scan
     mn = mx = None
     want_stats = n > null_count and (
-        _is_intlike(t) or pa.types.is_floating(t)
+        _is_intlike(t)
+        or pa.types.is_floating(t)
+        or isinstance(t, pa.Decimal128Type)
     )
     if (
         n > null_count
@@ -388,6 +392,20 @@ def encode_array(
         codec_id, payload, extra = STRUCT, _enc_struct(nn, profile), {}
     elif force_codec is None and pa.types.is_map(t):
         codec_id, payload, extra = MAP, _enc_map(nn, profile), {}
+    elif (
+        force_codec is None
+        and isinstance(t, pa.Decimal128Type)
+        and t.precision > 18
+    ):
+        # precision > 18 (precision <= 18 took the single-int64 path via
+        # _is_intlike): the reference's DEFAULT decimal is
+        # DecimalType(38, 18) stored as FIXED_LEN_BYTE_ARRAY(16)
+        # (/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/DecimalFormat.scala:21-26)
+        # — split the 128-bit unscaled value into hi/lo int64 words,
+        # each through the best-of int codec. Real money/quantity
+        # columns have an all-sign-extension hi word (RLE collapses it)
+        # and a FOR/delta-packable lo word.
+        codec_id, payload, extra = DEC128, _enc_dec128(nn), {}
     elif force_codec == IPC or not (
         is_str or _is_intlike(t) or pa.types.is_floating(t)
     ):
@@ -739,6 +757,137 @@ def _dec_map(payload: bytes, t: pa.DataType, mask) -> pa.Array:
     return _scatter(nn, t, mask) if mask is not None else nn
 
 
+def _enc_dec128(nn: pa.Array) -> bytes:
+    """decimal128 with precision > 18. Three sub-modes, smaller wins:
+    - mode 2 (descale): when every unscaled value is a multiple of
+      10^g (the usual case for wide-scale decimals — e.g. cents stored
+      as the Spark/parquet4s default DecimalType(38,18) carry 16 zero
+      digits of pure scale inflation), divide out the largest such
+      power and ride the exact int64 path on the quotients. The
+      divisibility probe is two vectorized arrow casts per bisection
+      step, never per-row Python.
+    - mode 1 (delta128): when every consecutive 128-bit difference fits
+      int64, store the first value raw + int64 deltas through the int
+      codec. The fit check is exact within the decimal38 domain:
+      |hi| <= ~5.4e18, so a wrapped hi-diff can never alias the 0/-1
+      sign extension.
+    - mode 0 (words): fallback — (hi, lo) int64 words, each through the
+      int codec; hi is pure sign extension for |v| < 2^63 and RLEs away.
+    """
+    t = nn.type
+    if len(nn) and t.scale > 0:
+
+        def _divisible(g: int) -> pa.Array | None:
+            opts = pc.CastOptions(
+                target_type=pa.decimal128(38, t.scale - g),
+                allow_decimal_truncate=True,
+            )
+            down = pc.cast(nn, options=opts)
+            return down if pc.cast(down, t).equals(nn) else None
+
+        lo_g, hi_g = 1, min(t.scale, 37)
+        best_g, best_down = 0, None
+        while lo_g <= hi_g:  # largest g with exact truncation (monotone)
+            mid = (lo_g + hi_g + 1) // 2
+            down = _divisible(mid)
+            if down is not None:
+                best_g, best_down = mid, down
+                lo_g = mid + 1
+            else:
+                hi_g = mid - 1
+        if best_g:
+            try:
+                small = pc.cast(
+                    best_down, pa.decimal128(18, t.scale - best_g)
+                )
+            except pa.ArrowInvalid:
+                small = None  # quotient still beyond int64 digits
+            if small is not None:
+                inner, _ = encode_array(small)
+                return struct.pack("<BB", 2, best_g) + _blk(inner)
+    pairs = np.frombuffer(
+        nn.buffers()[1], dtype=np.uint64, offset=nn.offset * 16,
+        count=2 * len(nn),
+    )
+    lo_u = np.ascontiguousarray(pairs[0::2])
+    hi = np.ascontiguousarray(pairs[1::2]).view(np.int64)
+    words = (
+        struct.pack("<B", 0)
+        + _blk(encode_ints_best(hi))
+        + _blk(encode_ints_best(lo_u.view(np.int64)))
+    )
+    n = len(lo_u)
+    if n >= 2:
+        dlo = lo_u[1:] - lo_u[:-1]  # uint64, wraps = mod 2^64
+        borrow = (lo_u[1:] < lo_u[:-1]).view(np.uint8).astype(np.int64)
+        with np.errstate(over="ignore"):
+            dhi = hi[1:] - hi[:-1] - borrow
+        if np.array_equal(dhi, dlo.view(np.int64) >> np.int64(63)):
+            delta = (
+                struct.pack("<B", 1)
+                + struct.pack("<Qq", int(lo_u[0]), int(hi[0]))
+                + encode_ints_best(dlo.view(np.int64))
+            )
+            if len(delta) < len(words):
+                return delta
+    return words
+
+
+def _dec_dec128(payload: bytes, t: pa.DataType, mask) -> pa.Array:
+    (mode,) = struct.unpack_from("<B", payload, 0)
+    if mode == 2:
+        (g,) = struct.unpack_from("<B", payload, 1)
+        inner, _ = _unblk(payload, 2)
+        small = decode_array(inner)  # decimal128(18, t.scale - g)
+        nn = pc.cast(small, t)  # exact scale widening
+        return _scatter(nn, t, mask) if mask is not None else nn
+    if mode == 1:
+        lo0, hi0 = struct.unpack_from("<Qq", payload, 1)
+        d = decode_ints(payload[17:])
+        n = len(d) + 1
+        lo = np.empty(n, dtype=np.uint64)
+        lo[0] = lo0
+        with np.errstate(over="ignore"):
+            lo[1:] = np.uint64(lo0) + np.cumsum(
+                d.view(np.uint64), dtype=np.uint64
+            )
+            # per-limb carry: unsigned add wrapped iff result < addend
+            carry = (lo[1:] < lo[:-1]).view(np.uint8).astype(np.uint64)
+            hi_ext = (d >> np.int64(63)).view(np.uint64)
+            hi = np.empty(n, dtype=np.uint64)
+            hi[0] = np.int64(hi0)
+            hi[1:] = (
+                np.uint64(np.int64(hi0))
+                + np.cumsum(hi_ext, dtype=np.uint64)
+                + np.cumsum(carry, dtype=np.uint64)
+            )
+        hi = hi.view(np.int64)
+        lo = lo.view(np.int64)
+    else:
+        hib, o = _unblk(payload, 1)
+        lob, o = _unblk(payload, o)
+        hi = decode_ints(hib)
+        lo = decode_ints(lob)
+    if mask is not None:
+        full_hi = np.zeros(len(mask), dtype=np.int64)
+        full_lo = np.zeros(len(mask), dtype=np.int64)
+        full_hi[~mask] = hi
+        full_lo[~mask] = lo
+        hi, lo = full_hi, full_lo
+    buf = np.empty(2 * len(lo), dtype=np.uint64)
+    buf[0::2] = lo.view(np.uint64)
+    buf[1::2] = hi.view(np.uint64)
+    validity = None
+    null_count = 0
+    if mask is not None:
+        validity = pa.py_buffer(np.packbits(~mask, bitorder="little").tobytes())
+        null_count = int(mask.sum())
+    return pa.Array.from_buffers(
+        t, len(lo), [validity, pa.py_buffer(buf.tobytes())],
+        null_count=null_count,
+    )
+
+
 def _enc_ipc(nn_or_arr: pa.Array, t: pa.DataType) -> bytes:
     # IPC path keeps nulls inline (bitmap not stored separately)
     sink = pa.BufferOutputStream()
@@ -810,6 +959,8 @@ def decode_array(blob: bytes) -> pa.Array:
         return _dec_struct(payload, t, mask)
     if codec_id == MAP:
         return _dec_map(payload, t, mask)
+    if codec_id == DEC128:
+        return _dec_dec128(payload, t, mask)
     if codec_id == DICT:
         dict_blob, o = _unblk(payload, 0)
         idx_blob, o = _unblk(payload, o)

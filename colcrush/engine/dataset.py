@@ -217,10 +217,16 @@ def read_decoded(
     spark: SparkSession,
     path: str,
     columns: list[str] | None = None,
+    decimal_formats: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
-    """Full decode of a persisted dataset (optionally projected)."""
+    """Full decode of a persisted dataset (optionally projected).
+    ``decimal_formats`` rescales stored decimal columns on read
+    (parquet4s rescaleOnRead, HALF_UP — see decoder._rescale_decimal)."""
     schema = read_schema(path)
-    return decode_table(read_chunks(spark, path), schema, columns=columns)
+    return decode_table(
+        read_chunks(spark, path), schema, columns=columns,
+        decimal_formats=decimal_formats,
+    )
 
 
 def register_view(

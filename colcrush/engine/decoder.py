@@ -64,11 +64,43 @@ def _spark_field_for(arrow_type: pa.DataType) -> T.DataType:
     raise TypeError(f"unsupported arrow type {arrow_type}")
 
 
+def _rescale_decimal(arr: pa.Array, precision: int, scale: int) -> pa.Array:
+    """parquet4s rescale-on-read (/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/DecimalFormat.scala:80-83):
+    round the stored value to ``precision`` significant digits
+    (MathContext), then setScale(``scale``) — both HALF_UP. One
+    divergence, pinned by test: a result whose integer digits then
+    exceed precision-scale (Java's BigDecimal carries it silently; a
+    typed arrow/Spark decimal column cannot) raises ValueError instead
+    of silently violating the declared type."""
+    import decimal as dec
+
+    t = arr.type
+    if t.precision == precision and t.scale == scale:
+        return arr
+    ctx = dec.Context(prec=precision, rounding=dec.ROUND_HALF_UP)
+    wide = dec.Context(prec=60, rounding=dec.ROUND_HALF_UP)
+    exp = dec.Decimal(1).scaleb(-scale)
+    out = []
+    for v in arr.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        d = ctx.create_decimal(v)
+        out.append(d.quantize(exp, context=wide))
+    try:
+        return pa.array(out, type=pa.decimal128(precision, scale))
+    except (pa.ArrowInvalid, OverflowError) as e:
+        raise ValueError(
+            f"rescale to DECIMAL({precision},{scale}) overflows: {e}"
+        ) from e
+
+
 def decode_table(
     chunks: DataFrame,
     schema: T.StructType,
     columns: list[str] | None = None,
     assume_colocated: bool = False,
+    decimal_formats: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Decode a chunk DataFrame (ENCODED_DDL) back to rows.
 
@@ -81,13 +113,34 @@ def decode_table(
     rows were emitted as one batch in one partition), saving a
     payload-sized shuffle. The decoder still fails loudly (incomplete
     chunks) if the assumption is violated, never silently mis-decodes.
+
+    ``decimal_formats``: {column: (precision, scale)} reads a stored
+    decimal column at a different format, rescaling HALF_UP — the
+    parquet4s rescaleOnRead contract (see _rescale_decimal).
     """
     requested = set(columns or [f.name for f in schema.fields])
     missing = requested - {f.name for f in schema.fields}
     if missing:
         raise ValueError(f"columns not in schema: {missing}")
+    decimal_formats = dict(decimal_formats or {})
+    for c, (p, s) in decimal_formats.items():
+        f = next((f for f in schema.fields if f.name == c), None)
+        if f is None or not isinstance(f.dataType, T.DecimalType):
+            raise ValueError(f"decimal_formats: {c} is not a decimal column")
     columns = [f.name for f in schema.fields if f.name in requested]
-    out_schema = T.StructType([f for f in schema.fields if f.name in requested])
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.DecimalType(*decimal_formats[f.name])
+                if f.name in decimal_formats
+                else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+            if f.name in requested
+        ]
+    )
     n_expected = len(columns)
 
     pruned = chunks.where(chunks["column"].isin(columns)).select(
@@ -110,7 +163,12 @@ def decode_table(
                 d = pending.setdefault(cid, {})
                 d[cols[i]] = payloads[i].as_py()
                 if len(d) == n_expected:
-                    arrays = [decode_array(d[c]) for c in columns]
+                    arrays = [
+                        _rescale_decimal(decode_array(d[c]), *decimal_formats[c])
+                        if c in decimal_formats
+                        else decode_array(d[c])
+                        for c in columns
+                    ]
                     del pending[cid]
                     yield pa.record_batch(arrays, names=columns)
         if pending:

@@ -168,14 +168,18 @@ def ivf_topk(
     centroids: np.ndarray,
     k: int = 10,
     n_probe: int = 4,
+    exclude_id=None,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the n_probe cells nearest the
-    query, exact cosine re-rank inside them."""
+    query, exact cosine re-rank inside them. With n_probe == n_cells
+    the probe set covers every cell and the result is EXACTLY brute
+    force — which is how the driver oracle checks this operator end to
+    end (queries.q_ivf_ann)."""
     qv = np.asarray(query, dtype=np.float64)
     d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in d2.argsort()[:n_probe]]
     cand = ivf_assign(df, vec_col, centroids).where(F.col("_cell").isin(probe))
-    return brute_force_topk(cand, id_col, vec_col, query, k)
+    return brute_force_topk(cand, id_col, vec_col, query, k, exclude_id=exclude_id)
 
 
 def lsh_topk(
@@ -186,19 +190,28 @@ def lsh_topk(
     k: int = 10,
     num_planes: int = 12,
     seed: int = 42,
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's hyperplane bucket,
-    exact cosine re-rank inside it. Recall grows with fewer planes /
-    multiprobe; at 100 TB the bucket filter is a partition-prunable
-    equi-predicate on a precomputed bucket column."""
+    """Approximate top-k: probe the query's hyperplane bucket, exact
+    cosine re-rank inside it. ``multiprobe=1`` (default) also probes
+    every 1-bit-flip neighbor bucket — near neighbors most often differ
+    from the query signature in exactly the planes they sit closest to,
+    so the +num_planes extra buckets recover most of the single-bucket
+    recall cliff at ~(1+planes)/2^planes of the data scanned.
+    ``multiprobe=0`` probes only the exact bucket. At 100 TB the bucket
+    filter is a partition-prunable IN-predicate on a precomputed bucket
+    column."""
     rng = np.random.default_rng(seed)
     qv = np.asarray(query, dtype=np.float64)
     planes = rng.standard_normal((len(qv), num_planes))
     qsig = int(
         ((qv @ planes > 0) * (1 << np.arange(num_planes)).astype(np.int64)).sum()
     )
+    probe = [qsig]
+    if multiprobe >= 1:
+        probe += [qsig ^ (1 << i) for i in range(num_planes)]
     bucket = _sig_bucket_udf(num_planes, seed)
     cand = df.withColumn("_bkt", bucket(F.col(vec_col))).where(
-        F.col("_bkt") == F.lit(qsig)
+        F.col("_bkt").isin(probe)
     )
     return brute_force_topk(cand, id_col, vec_col, query, k)

@@ -300,6 +300,28 @@ def q_roundtrip_decimal(spark, sf):
     )
 
 
+def q_roundtrip_decimal38(spark, sf):
+    """Engine round trip of the reference's DEFAULT decimal format,
+    DecimalType(38,18) (/root/reference/core/src/main/scala/com/github/
+    mjakubowski84/parquet4s/DecimalFormat.scala:21-26): prices cast to
+    (38,18) BEFORE encode ride the dec128 codec (descale/delta128/words
+    sub-modes — never IPC; pinned by test_decimal38_roundtrip_and_
+    rescale_on_read), and exact-decimal aggregation on the DECODED rows
+    must match DuckDB."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(38,18)").alias("price"),
+    )
+    enc = encode_table(li, group_cols=["l_returnflag"], target_chunk_rows=1 << 14)
+    dec = decode_table(enc, li.schema, assume_colocated=True)
+    return dec.groupBy("l_returnflag").agg(
+        F.sum("price").cast("double").alias("sum_price"),
+        F.min("price").cast("double").alias("min_price"),
+        F.max("price").cast("double").alias("max_price"),
+        F.count("price").alias("n"),
+    )
+
+
 def _q1_body(li: DataFrame) -> DataFrame:
     # decimal precisions kept small so products stay exact (no Spark
     # precision-loss rounding at the 38 cap)
@@ -531,16 +553,22 @@ def q_encode_manifest_lineage(spark, sf):
 
 
 def q_ivf_ann(spark, sf):
-    """IVF ANN (kmeans-lite cells + probe) — rows-only: the coarse
-    quantizer isn't SQL-expressible."""
+    """IVF ANN (kmeans-lite cells + assignment + probe union + exact
+    re-rank), oracle-checked end to end: with n_probe == n_cells the
+    probe set covers every cell, so the full pipeline must reproduce
+    the exact brute-force top-k (_ANN_SQL) — any bug in the quantizer
+    assignment, cell routing, or re-rank breaks the match. The
+    recall/cost trade of REDUCED probes is pinned separately by
+    tests/test_operators.py (ivf + lsh multiprobe recall)."""
     from .operators.similarity import ivf_topk, train_ivf_centroids
 
     emb = _t(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     cent = train_ivf_centroids(emb, "embedding", n_cells=8, id_col="vec_id")
-    return ivf_topk(emb, "vec_id", "embedding", list(q), cent, k=10, n_probe=4).select(
-        "vec_id"
-    )
+    return ivf_topk(
+        emb, "vec_id", "embedding", list(q), cent, k=10, n_probe=8,
+        exclude_id=0,
+    ).select("vec_id")
 
 
 def q_winnow_fingerprints(spark, sf):
@@ -591,6 +619,7 @@ QUERIES = {
     "roundtrip_documents_sha": q_roundtrip_documents_sha,
     "roundtrip_lineitem_q1": q_roundtrip_lineitem_q1,
     "roundtrip_decimal": q_roundtrip_decimal,
+    "roundtrip_decimal38": q_roundtrip_decimal38,
     "encode_manifest_lineage": q_encode_manifest_lineage,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -906,6 +935,13 @@ ORACLES = {
         "  AS sum_disc_price, "
         "count(*) AS n FROM lineitem GROUP BY l_returnflag"
     ),
+    "roundtrip_decimal38": (
+        "SELECT l_returnflag, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sum_price, "
+        "CAST(min(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS min_price, "
+        "CAST(max(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS max_price, "
+        "count(l_extendedprice) AS n FROM lineitem GROUP BY l_returnflag"
+    ),
     "encode_manifest_lineage": (
         "SELECT lang, count(*) AS n_rows, CAST(sum(strlen(text)) AS BIGINT) AS raw_bytes "
         "FROM documents GROUP BY lang"
@@ -964,6 +1000,9 @@ ORACLES = {
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
     "ngram_jaccard_topk": _NGRAM_SQL,
     "ann_topk": _ANN_SQL,
+    # full-probe IVF covers every cell, so it must equal brute force —
+    # the same SQL is its exact oracle (closes the round-2 rows-only gap)
+    "ivf_ann": _ANN_SQL,
     "minhash_dedup": _MINHASH_SQL,
     "simhash_dedup": _SIMHASH_SQL,
     "embedding_neardup": _EMB_NEARDUP_SQL,

@@ -24,3 +24,16 @@ s = re.sub(r'_FIXTURE_SHA = .*', f'_FIXTURE_SHA = "{fixture_sha}"', s)
 s = re.sub(r'_BLOB_GOLDENS = .*', f'_BLOB_GOLDENS = {goldens!r}', s)
 open(p, "w").write(s)
 print("goldens:", fixture_sha[:16], goldens)
+
+# dec128 goldens
+import decimal, pyarrow as pa
+D = decimal.Decimal
+dec_cases = [
+    pa.array([D(i * 7 % 1000) / 100 for i in range(500)] + [None], type=pa.decimal128(38, 18)),
+    pa.array([D("0.123456789123456789") * i for i in range(64)], type=pa.decimal128(38, 18)),
+]
+dec_goldens = [hashlib.sha256(encode_array(a)[0]).hexdigest()[:16] for a in dec_cases]
+s = open(p).read()
+s = re.sub(r"_DEC128_GOLDENS = .*", f"_DEC128_GOLDENS = {dec_goldens!r}", s)
+open(p, "w").write(s)
+print("dec128 goldens:", dec_goldens)

@@ -261,8 +261,10 @@ def test_native_kernel_matches_numpy_bytes():
 def test_decimal_codec_roundtrip():
     """DECIMAL(p<=18) rides the int path via exact unscaled-int64
     reinterpretation (parquet4s DecimalFormat.scala:21-123 parity);
-    wider decimals keep the IPC fallback. Negatives, nulls, and scale
-    boundaries round-trip exactly."""
+    wider decimals — including the reference's DEFAULT DecimalType(38,18)
+    (DecimalFormat.scala:21-26) — split the int128 unscaled value into
+    hi/lo int64 words through the int codec (dec128), never IPC.
+    Negatives, nulls, and scale boundaries round-trip exactly."""
     import decimal
 
     import pyarrow as pa
@@ -278,13 +280,28 @@ def test_decimal_codec_roundtrip():
         (pa.array([D(i) / 100 for i in range(1000)],
                    type=pa.decimal128(12, 2)), ("ints", "dict")),
         (pa.array([D("38.000000000000000001")],
-                   type=pa.decimal128(38, 18)), ("ipc",)),
+                   type=pa.decimal128(38, 18)), ("dec128",)),
+        (pa.array([D("-99999999999999999999.999999999999999999"),
+                   D("99999999999999999999.999999999999999999"),
+                   None, D("0.000000000000000000"),
+                   D("-0.000000000000000001")],
+                   type=pa.decimal128(38, 18)), ("dec128",)),
+        (pa.array([D(i) + D("0.5") for i in range(2000)],
+                   type=pa.decimal128(38, 18)), ("dec128",)),
     ]
     for i, (arr, codecs) in enumerate(cases):
         blob, meta = encode_array(arr)
         assert meta["codec"] in codecs, f"case {i}: {meta['codec']}"
         back = decode_array(blob)
         assert back.equals(arr), f"case {i} roundtrip"
+    # money-like (38,18) columns compress hard: hi word is pure sign
+    # extension (RLE), lo word FOR/delta-packs — vs 16 raw bytes/row
+    money = pa.array([D(i * 7 % 10000) / 100 for i in range(20000)],
+                     type=pa.decimal128(38, 18))
+    blob, meta = encode_array(money)
+    assert meta["codec"] == "dec128"
+    assert len(blob) < 20000 * 4  # >4x better than raw FLBA(16)
+    assert decode_array(blob).equals(money)
 
 
 def test_nested_codec_roundtrip():

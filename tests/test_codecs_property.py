@@ -117,6 +117,36 @@ def test_decimal_roundtrip_any(values):
     st.lists(
         st.one_of(
             st.none(),
+            # full-range decimal38 (words/delta modes)
+            st.decimals(
+                min_value=-(10**19), max_value=10**19, places=18,
+                allow_nan=False, allow_infinity=False,
+            ),
+            # money-shaped (descale mode)
+            st.decimals(
+                min_value=-(10**9), max_value=10**9, places=2,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        max_size=200,
+    )
+)
+def test_decimal38_roundtrip_any(values):
+    """DecimalType(38,18) — the reference's default format — must
+    round-trip exactly through the dec128 codec whatever sub-mode the
+    data shape selects."""
+    arr = pa.array(values, type=pa.decimal128(38, 18))
+    blob, meta = encode_array(arr)
+    assert decode_array(blob).equals(arr)
+    if any(v is not None for v in values):
+        assert meta["codec"] == "dec128"
+
+
+@_settings
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
             st.lists(
                 st.one_of(st.none(), st.integers(-(2**62), 2**62)),
                 max_size=20,

@@ -126,3 +126,65 @@ def test_engine_roundtrip_nested_columns(spark, tmp_path):
         )
 
     assert canon(got) == canon(df)
+
+
+def test_decimal38_roundtrip_and_rescale_on_read(spark, tmp_path):
+    """The reference's DEFAULT decimal format DecimalType(38,18)
+    (/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/DecimalFormat.scala:21-26)
+    rides the dec128 lightweight codec (never IPC), and rescaleOnRead
+    (DecimalFormat.scala:80-83) reads a stored decimal at a different
+    format with HALF_UP rounding at both the MathContext and setScale
+    steps."""
+    import decimal
+
+    import pytest
+
+    from colcrush.engine import read_decoded, read_manifest, write_encoded
+
+    D = decimal.Decimal
+    df = spark.createDataFrame(
+        [(i, D(i * 7 % 1000) / 100) for i in range(2000)]
+        + [(2000, D("1.995")), (2001, D("-1.995")), (2002, None)],
+        "id long, amount decimal(38,18)",
+    )
+    path = str(tmp_path / "ds")
+    write_encoded(df, path, mode="overwrite", group_cols=[])
+    m = read_manifest(spark, path)
+    codecs = {r["column"]: r["codec"] for r in m.collect()}
+    assert codecs["amount"] == "dec128"
+
+    back = read_decoded(spark, path)
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+    # rescale to (12,2): exact for the money rows, HALF_UP on 1.995
+    got = {
+        r["id"]: r["amount"]
+        for r in read_decoded(
+            spark, path, decimal_formats={"amount": (12, 2)}
+        ).collect()
+    }
+    assert got[0] == D("0.00") and got[7] == D("0.49")
+    assert got[2000] == D("2.00")   # HALF_UP, not banker's
+    assert got[2001] == D("-2.00")  # HALF_UP away from zero
+    assert got[2002] is None
+
+    # widening rescale is exact
+    wide = read_decoded(spark, path, decimal_formats={"amount": (38, 20)})
+    assert wide.schema["amount"].dataType.simpleString() == "decimal(38,20)"
+    assert wide.where(F.col("id") == 7).collect()[0]["amount"] == D("0.49")
+
+    # precision overflow: Java BigDecimal silently exceeds the declared
+    # precision (123.5 -> setScale(2) -> 123.50, 5 digits in a (4,2));
+    # a typed column cannot, so the engine raises instead (pinned
+    # divergence from the reference)
+    df2 = spark.createDataFrame(
+        [(1, D("123.456"))], "id long, amount decimal(38,18)"
+    )
+    p2 = str(tmp_path / "ds2")
+    write_encoded(df2, p2, mode="overwrite", group_cols=[])
+    with pytest.raises(Exception, match="overflow"):
+        read_decoded(spark, p2, decimal_formats={"amount": (4, 2)}).collect()
+
+    # non-decimal column refused loudly
+    with pytest.raises(ValueError, match="not a decimal"):
+        read_decoded(spark, path, decimal_formats={"id": (12, 2)})

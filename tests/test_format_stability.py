@@ -74,6 +74,33 @@ def test_decimal_blob_stable():
 _DECIMAL_GOLDEN = ('ints', '8a1f85eea33efe93')
 
 
+def test_dec128_blob_stable():
+    """DecimalType(38,18) golden — the reference's DEFAULT decimal
+    format (DecimalFormat.scala:21-26). Pins the dec128 container and
+    its sub-mode selection (descale/delta128/words)."""
+    import decimal
+
+    D = decimal.Decimal
+    cases = [
+        # descale mode: money values = multiples of 10^16
+        pa.array([D(i * 7 % 1000) / 100 for i in range(500)] + [None],
+                 type=pa.decimal128(38, 18)),
+        # words mode: full-scale digits
+        pa.array([D("0.123456789123456789") * i for i in range(64)],
+                 type=pa.decimal128(38, 18)),
+    ]
+    got = []
+    for arr in cases:
+        blob, meta = encode_array(arr)
+        assert meta["codec"] == "dec128"
+        assert decode_array(blob).equals(arr)
+        got.append(hashlib.sha256(blob).hexdigest()[:16])
+    assert got == _DEC128_GOLDENS, f"dec128 format drifted: {got}"
+
+
+_DEC128_GOLDENS = ['0a688ae7a0e28252', '2c3379abb26d6ddd']
+
+
 def test_legacy_blob_decodes():
     """DECODE-side stability: blobs persisted by the round-2 encoder
     (iterated pair-substitution FSST) must keep decoding byte-for-byte

@@ -159,6 +159,67 @@ def test_ivf_topk_recovers_neighbors(spark, vectors):
     assert ids & {0, 1, 2, 3, 4}, f"IVF lost all true neighbors: {ids}"
 
 
+def test_ivf_full_probe_equals_brute_force(spark, vectors):
+    """n_probe == n_cells covers every cell: the whole IVF pipeline
+    (assignment + routing + re-rank) must reproduce exact brute force —
+    the invariant behind the ivf_ann driver oracle."""
+    from colcrush.operators.similarity import ivf_topk, train_ivf_centroids
+
+    df, q = vectors
+    cent = train_ivf_centroids(df, "embedding", n_cells=8, id_col="vec_id")
+    ivf = ivf_topk(df, "vec_id", "embedding", q, cent, k=10, n_probe=8).collect()
+    bf = brute_force_topk(df, "vec_id", "embedding", q, k=10).collect()
+    assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in bf]
+
+
+def test_lsh_multiprobe_recall(spark):
+    """Multiprobe (query bucket + every 1-bit-flip neighbor) must reach
+    recall@10 >= 0.9 vs brute force for genuinely-near neighbors
+    (cosine ~0.99 jitters of the query, planted among the embeddings
+    fixture's random vectors) at fixed params — and never probe-miss
+    below the single-bucket variant. Closes the round-2 single-bucket
+    recall cliff; for weakly-correlated 'neighbors' (random Gaussians)
+    no bucketing scheme can help and brute force / IVF full-probe is
+    the right tool."""
+    import numpy as np
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    q = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    rng = np.random.default_rng(11)
+    qv = np.asarray(q, dtype=np.float64)
+    planted = [
+        (100000 + i, [float(x) for x in qv + 0.02 * rng.standard_normal(len(qv))])
+        for i in range(10)
+    ]
+    df = emb.unionAll(spark.createDataFrame(planted, emb.schema)).cache()
+    df.count()
+    truth = {
+        r["vec_id"]
+        for r in brute_force_topk(
+            df, "vec_id", "embedding", q, k=10, exclude_id=0
+        ).collect()
+    }
+    assert truth == {100000 + i for i in range(10)}  # planted are the top-10
+
+    def recall(multiprobe):
+        got = {
+            r["vec_id"]
+            for r in lsh_topk(
+                df, "vec_id", "embedding", q, k=11, num_planes=12,
+                multiprobe=multiprobe,
+            ).collect()
+            if r["vec_id"] != 0
+        }
+        return len(got & truth) / len(truth)
+
+    single, multi = recall(0), recall(1)
+    assert multi >= 0.9, f"multiprobe recall@10 {multi:.2f} (single {single:.2f})"
+    assert multi >= single
+    df.unpersist()
+
+
 def test_embedding_neardup_pairs(spark):
     import numpy as np
 
