@@ -42,8 +42,10 @@ HEADLINE = [
     "dedup_exact_groups",
     "minhash_dedup",
     "simhash_dedup",
+    "simhash_dedup_fast",
     "embedding_neardup",
     "winnow_fingerprints",
+    "winnow_fingerprints_fast",
     "ann_topk",
     "token_count",
     "quality_score",

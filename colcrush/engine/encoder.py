@@ -58,23 +58,30 @@ def _stat_str(v) -> str | None:
 
 def _stat_str_max(v) -> str | None:
     """Upper bound: truncate-and-increment (parquet's trick) so
-    max_s >= actual max even after truncation; None if unbounded."""
+    max_s >= actual max even after truncation; None if unbounded.
+
+    Only the LAST truncated char is incremented — never an earlier one.
+    A cascading increment would SHORTEN the stat below _STAT_TRUNC,
+    making a truncated bound indistinguishable from an exact short
+    value, which would silently break column_min_max's actual-value
+    recovery (it flags length >= _STAT_TRUNC or null as suspect). If
+    the last char can't increment (U+10FFFF), the max is recorded as
+    unbounded: null max + non-null min = suspect, and range pruning
+    treats a null bound as never-prunable — both stay sound."""
     if v is None:
         return None
     s = v if isinstance(v, str) else str(v)
     if len(s) <= _STAT_TRUNC:
         return s
     t = list(s[:_STAT_TRUNC])
-    for i in range(len(t) - 1, -1, -1):
-        cp = ord(t[i])
-        if cp < 0x10FFFF:
-            nxt = cp + 1
-            if 0xD800 <= nxt <= 0xDFFF:  # skip surrogate range
-                nxt = 0xE000
-            t[i] = chr(nxt)
-            return "".join(t[: i + 1])
-        # overflow: drop this char, increment the previous one
-    return None  # every char was U+10FFFF — no finite upper bound
+    cp = ord(t[-1])
+    if cp >= 0x10FFFF:
+        return None  # can't increment without shortening — unbounded
+    nxt = cp + 1
+    if 0xD800 <= nxt <= 0xDFFF:  # skip surrogate range
+        nxt = 0xE000
+    t[-1] = chr(nxt)
+    return "".join(t)
 
 
 def _stat_num(v, toward: float = 0.0) -> float | None:
@@ -333,6 +340,7 @@ def encode_table(
     num_partitions: int | None = None,
     salted: bool = True,
     namespace: str = "",
+    unstable_order_ok: bool = False,
 ) -> DataFrame:
     """Encode ``df`` into the chunk table (ENCODED_DDL schema).
 
@@ -368,8 +376,20 @@ def encode_table(
     hashable = _hashable_cols(df, sort_cols or df.columns)
     if hashable:
         sort_key = F.xxhash64(*[F.col(c) for c in hashable])
-    else:  # only map-typed columns: no deterministic hash available
+    elif unstable_order_ok:
+        # no deterministic hash available (Spark's xxhash64 rejects MAP
+        # columns): rows chunk in arrival order, so chunk BYTES are not
+        # reproducible across runs/partitionings — resume and N-vs-4N
+        # byte identity degrade to row-set identity for this dataset
         sort_key = F.lit(0).cast("long")
+    else:
+        raise ValueError(
+            "every sort column is MAP-typed — Spark cannot hash maps, so "
+            "chunk contents would depend on row arrival order, silently "
+            "breaking resume and partition-count byte identity. Provide "
+            "sort_cols including at least one non-map column, or pass "
+            "unstable_order_ok=True to accept order-dependent chunks."
+        )
     if group_cols:
         if salted:
             salts = plan_salts(df, group_cols, target_group_bytes)

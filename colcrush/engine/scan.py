@@ -38,13 +38,23 @@ def count_rows(spark: SparkSession, path: str) -> int:
 
 
 def column_min_max(spark: SparkSession, path: str, column: str) -> tuple[Any, Any]:
-    """Metadata-only min/max folded over chunk stats (Stats.min/max).
+    """min/max folded over chunk stats (parquet4s Stats.min/max,
+    Stats.scala:34-58) — returning ACTUAL column values, like the
+    reference.
 
-    Numeric results are exact column values. String results are BOUNDS,
-    not necessarily values present in the data: encode-time string stats
-    are truncated to 64 chars (min) / truncated-and-incremented (max) —
-    same contract as parquet's truncated binary statistics. Callers
-    needing exact long-string extrema should fold over a decoded scan.
+    Numeric results come straight from chunk stats (exact column
+    values; ints beyond 2^53 and decimals carry a one-ulp-widened
+    double bound, so those extremes are bounds, not exact values).
+    String stats are truncated to 64 chars at encode time (min:
+    truncation; max: truncate-and-increment — parquet's truncated
+    binary statistics trick), so a stats value of length >= 64 may be
+    a BOUND rather than a value present in the data. Such suspect
+    chunks — and only those that could still beat the best exact
+    (untruncated) stat — are decoded and folded, restoring the
+    actual-value contract while short-string datasets stay pure
+    metadata reads. (Unbounded edge: a max ending in U+10FFFF chars
+    can shorten under increment; such stats rows are also treated as
+    suspect via the null-max check.)
     """
     m = read_manifest(spark, path).where(F.col("column") == column)
     row = m.agg(
@@ -55,7 +65,53 @@ def column_min_max(spark: SparkSession, path: str, column: str) -> tuple[Any, An
     ).collect()[0]
     if row["mn_d"] is not None:
         return row["mn_d"], row["mx_d"]
-    return row["mn_s"], row["mx_s"]
+    if row["mn_s"] is None:
+        return None, None
+
+    trunc = 64  # encoder._STAT_TRUNC
+    suspect_min = F.length("min_s") >= trunc
+    # an incremented (or overflow-shortened, possibly NULL) max is
+    # suspect whenever the chunk holds any long string; min_s length is
+    # the cheap witness for "this chunk has >= trunc-char values"
+    suspect_max = (
+        (F.length("max_s") >= trunc)
+        | (F.col("max_s").isNull() & F.col("min_s").isNotNull())
+    )
+    exact_row = m.agg(
+        F.min(F.when(~suspect_min, F.col("min_s"))).alias("mn"),
+        F.max(F.when(~suspect_max, F.col("max_s"))).alias("mx"),
+        F.sum(suspect_min.cast("int")).alias("n_smin"),
+        F.sum(suspect_max.cast("int")).alias("n_smax"),
+    ).collect()[0]
+    mn, mx = exact_row["mn"], exact_row["mx"]
+    if not exact_row["n_smin"] and not exact_row["n_smax"]:
+        return mn, mx
+
+    schema = read_schema(path)
+
+    def _fold(cond) -> tuple[Any, Any]:
+        ids = m.where(cond).select("chunk_id").distinct()
+        chunks = read_chunks(spark, path).join(ids, "chunk_id", "left_semi")
+        dec = decode_table(chunks, schema, columns=[column])
+        r = dec.agg(
+            F.min(column).alias("mn"), F.max(column).alias("mx")
+        ).collect()[0]
+        return r["mn"], r["mx"]
+
+    # decode only suspect chunks that could still beat the exact stats
+    min_cond = suspect_min if mn is None else (suspect_min & (F.col("min_s") < mn))
+    max_cond = suspect_max if mx is None else (
+        suspect_max & (F.col("max_s").isNull() | (F.col("max_s") > mx))
+    )
+    if exact_row["n_smin"]:
+        dmn, _ = _fold(min_cond)
+        if dmn is not None and (mn is None or dmn < mn):
+            mn = dmn
+    if exact_row["n_smax"]:
+        _, dmx = _fold(max_cond)
+        if dmx is not None and (mx is None or dmx > mx):
+            mx = dmx
+    return mn, mx
 
 
 def _chunk_survives(filt: tuple) -> "F.Column":

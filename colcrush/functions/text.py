@@ -95,23 +95,38 @@ def fingerprint_md5(col: F.Column) -> F.Column:
 
 
 def _md5_long(c: F.Column) -> F.Column:
-    """First 8 hex chars of md5 as a bigint — chosen over a custom
-    rolling hash because BOTH Spark and DuckDB print identical md5 hex,
-    so the fingerprint oracle reproduces values bit-for-bit."""
+    """First 8 hex chars of md5 as a bigint — BOTH Spark and DuckDB
+    print identical md5 hex, so fingerprint oracles reproduce values
+    bit-for-bit. The verification hash, not the production default."""
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
 
 
-def winnow_fingerprints(col: F.Column, k: int = 8, w: int = 16) -> F.Column:
+def _gram_hash(c: F.Column, hash: str) -> F.Column:
+    if hash == "md5":
+        return _md5_long(c)
+    if hash == "xxhash64":
+        return F.xxhash64(c)
+    raise ValueError(f"hash must be 'xxhash64' or 'md5', got {hash!r}")
+
+
+def winnow_fingerprints(
+    col: F.Column, k: int = 8, w: int = 16, hash: str = "xxhash64"
+) -> F.Column:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     hash every k-gram, take the minimum per sliding window of w hashes,
     distinct — the robust near-dup fingerprint set. Pure Spark
     expressions (transform / sequence / slice / array_min): whole-stage
     codegen'd, no Python — the round-1 version was a per-doc numpy UDF.
-    Empty array for texts shorter than k."""
+    Empty array for texts shorter than k.
+
+    ``hash``: 'xxhash64' (default — one JVM hash per k-gram, the right
+    cost at 100 TB) or 'md5' (DuckDB-recomputable; what the driver
+    oracle runs). Fingerprint VALUES differ between modes; the derived
+    near-dup structure is equivalent (pinned by test)."""
     n_g = F.length(col) - (k - 1)
     grams_h = F.transform(
         F.sequence(F.lit(1), n_g),
-        lambda p: _md5_long(F.substr(col, p, F.lit(k))),
+        lambda p: _gram_hash(F.substr(col, p, F.lit(k)), hash),
     )
 
     # bind the hash array ONCE via a 1-element-array transform scope:

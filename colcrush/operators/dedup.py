@@ -222,25 +222,45 @@ def minhash_dedup_pairs(
     return joined.select("a", "b", est).where(F.col("jaccard") >= threshold)
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, hash: str = "xxhash64"
+) -> DataFrame:
     """(id, simhash: bigint) 64-bit SimHash, entirely JVM-side.
 
-    Per-token 64-bit hash = the first 16 hex chars of md5(token),
-    consumed as four 16-bit words (md5 was chosen over xxhash64 so a
-    DuckDB oracle can recompute the signature bit-for-bit — both
-    engines print identical md5 hex). Tokens explode once; each of the
-    64 bit votes is one conditional-sum aggregate, so the whole
-    signature is whole-stage-codegen'd with map-side partial
-    aggregation — no Python in the path (the round-1 pandas_udf ran
-    per-token Python md5, the exact anti-pattern the mandate bans)."""
+    Per-token 64-bit hash: ``hash='xxhash64'`` (default — one native
+    JVM hash per token, the right cost at 100 TB) or ``'md5'`` (the
+    first 16 hex chars of md5(token) as four 16-bit words — DuckDB
+    prints identical md5 hex, so the driver oracle recomputes the
+    signature bit-for-bit; signatures DIFFER between modes, the
+    near-dup pair structure is equivalent, pinned by test). Tokens
+    explode once; each of the 64 bit votes is one conditional-sum
+    aggregate, so the whole signature is whole-stage-codegen'd with
+    map-side partial aggregation — no Python in the path (the round-1
+    pandas_udf ran per-token Python md5, the exact anti-pattern the
+    mandate bans)."""
     inv = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
-    ).withColumn("_md5", F.md5("_tok"))
-    words = [
-        F.conv(F.substring("_md5", 4 * k + 1, 4), 16, 10).cast("int").alias(f"_w{k}")
-        for k in range(4)
-    ]
+    )
+    if hash == "md5":
+        inv = inv.withColumn("_md5", F.md5("_tok"))
+        words = [
+            F.conv(F.substring("_md5", 4 * k + 1, 4), 16, 10)
+            .cast("int")
+            .alias(f"_w{k}")
+            for k in range(4)
+        ]
+    elif hash == "xxhash64":
+        inv = inv.withColumn("_h", F.xxhash64("_tok"))
+        words = [
+            F.shiftrightunsigned(F.col("_h"), 16 * k)
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("int")
+            .alias(f"_w{k}")
+            for k in range(4)
+        ]
+    else:
+        raise ValueError(f"hash must be 'xxhash64' or 'md5', got {hash!r}")
     inv = inv.select(id_col, *words)
     votes = [
         F.sum(
@@ -260,13 +280,15 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_dedup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 4x16-bit segment blocking (a pair
     within hamming<=3 must agree on >=1 of 4 segments — pigeonhole, so
     blocking is COMPLETE for max_hamming < 4), exact popcount verify
-    via bit_count(xor) — all JVM-side."""
-    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint()
+    via bit_count(xor) — all JVM-side. ``hash`` as in
+    simhash_signatures (xxhash64 production / md5 oracle)."""
+    sigs = simhash_signatures(df, id_col, text_col, hash=hash).localCheckpoint()
     seg_keys = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), seg * 16).bitwiseAND(F.lit(0xFFFF))

@@ -501,7 +501,21 @@ def q_simhash_dedup(spark, sf):
     all-pairs result the DuckDB oracle computes). Signatures are
     md5-derived so both engines agree bit-for-bit."""
     return simhash_dedup_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=3
+        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=3,
+        hash="md5",
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_simhash_dedup_fast(spark, sf):
+    """Production-hash SimHash (xxhash64 per token — the default mode,
+    one native JVM hash instead of md5+conv). Rows-only: xxhash64 is
+    Spark-native, not ANSI-SQL-expressible; the md5 twin
+    (simhash_dedup) is the oracle-checked variant, and
+    test_simhash_hash_modes_equivalent pins that both modes find the
+    same near-dup pairs on the fixture."""
+    return simhash_dedup_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=3,
+        hash="xxhash64",
     ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -580,7 +594,24 @@ def q_winnow_fingerprints(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select(
         "doc_id",
-        F.explode(winnow_fingerprints(F.col("text"))).alias("fp"),
+        F.explode(winnow_fingerprints(F.col("text"), hash="md5")).alias("fp"),
+    )
+
+
+def q_winnow_fingerprints_fast(spark, sf):
+    """Production-hash winnowing (xxhash64 per k-gram — the default
+    mode). Rows-only: xxhash64 is Spark-native, not
+    ANSI-SQL-expressible; the md5 twin (winnow_fingerprints) is the
+    oracle-checked variant, and test_winnow_hash_modes_equivalent pins
+    that both modes induce the same near-dup structure on the fixture."""
+    from .functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            winnow_fingerprints(F.col("text"), hash="xxhash64")
+        ).alias("fp"),
     )
 
 
@@ -638,9 +669,11 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
+    "simhash_dedup_fast": q_simhash_dedup_fast,
     "embedding_neardup": q_embedding_neardup,
     "ivf_ann": q_ivf_ann,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1007,6 +1040,9 @@ ORACLES = {
     "simhash_dedup": _SIMHASH_SQL,
     "embedding_neardup": _EMB_NEARDUP_SQL,
     "winnow_fingerprints": _WINNOW_SQL,
-    # minhash_dedup / simhash_dedup / embedding_neardup: rows-only
-    # (LSH bucketing + signature UDFs aren't ANSI-SQL-expressible)
+    # rows-only (no oracle): multimodal_features (mandated media-decode
+    # stub) and the *_fast twins of simhash_dedup / winnow_fingerprints
+    # (xxhash64 is Spark-native, not ANSI-SQL-expressible — the md5
+    # twins are the oracle-checked variants and tests pin that both
+    # hash modes induce the same near-dup structure on the fixture)
 }

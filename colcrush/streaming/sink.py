@@ -84,26 +84,39 @@ def via_parquet(
             )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.write.mode("append")
-            .option("maxRecordsPerFile", max_records_per_file)
-            .partitionBy(*partition_by)
-            .parquet(path)
-        )
+        # with a hook attached, persist so the micro-batch plan runs
+        # ONCE (the write pass materializes the cache) and the hook's
+        # stats come from a single aggregate job over the cache — the
+        # round-2 version re-ran the whole batch plan three extra times
+        # per epoch (distinct/count/tail)
         if post_write is not None:
-            parts = [
-                tuple(r)
-                for r in batch_df.select(*partition_by).distinct().collect()
-            ]
-            tail = batch_df.tail(1)
-            state = PostWriteState(
-                epoch_id=epoch_id,
-                processed_record_count=batch_df.count(),
-                last_processed_record=tail[0].asDict() if tail else None,
-                partitions=parts,
-                _path=path,
+            batch_df.persist()
+        try:
+            (
+                batch_df.write.mode("append")
+                .option("maxRecordsPerFile", max_records_per_file)
+                .partitionBy(*partition_by)
+                .parquet(path)
             )
-            post_write(batch_df, epoch_id, state)
+            if post_write is not None:
+                row = batch_df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.collect_set(F.struct(*partition_by)).alias("parts"),
+                    F.last(F.struct(*batch_df.columns)).alias("last"),
+                ).collect()[0]
+                state = PostWriteState(
+                    epoch_id=epoch_id,
+                    processed_record_count=int(row["n"]),
+                    last_processed_record=(
+                        row["last"].asDict() if row["n"] else None
+                    ),
+                    partitions=sorted(tuple(p) for p in row["parts"]),
+                    _path=path,
+                )
+                post_write(batch_df, epoch_id, state)
+        finally:
+            if post_write is not None:
+                batch_df.unpersist()
 
     writer = df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

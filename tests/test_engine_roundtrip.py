@@ -188,3 +188,23 @@ def test_decimal38_roundtrip_and_rescale_on_read(spark, tmp_path):
     # non-decimal column refused loudly
     with pytest.raises(ValueError, match="not a decimal"):
         read_decoded(spark, path, decimal_formats={"id": (12, 2)})
+
+
+def test_map_only_sort_cols_raise_loudly(spark):
+    """Spark's xxhash64 rejects MAP columns, so a map-only sort set has
+    no deterministic sort key — chunk bytes would silently depend on
+    arrival order, breaking resume/N-vs-4N identity. The encoder must
+    refuse unless the caller opts into unstable order explicitly."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2})], "k long, m map<string,long>"
+    )
+    with pytest.raises(ValueError, match="MAP-typed"):
+        encode_table(df, group_cols=["k"], sort_cols=["m"])
+    # escape hatch still round-trips
+    enc = encode_table(
+        df, group_cols=["k"], sort_cols=["m"], unstable_order_ok=True
+    )
+    from colcrush.engine import decode_table as _dt
+
+    dec = _dt(enc, df.schema, assume_colocated=True)
+    assert dec.count() == 2

@@ -276,3 +276,88 @@ def test_ngram_jaccard_max_df_cutoff(spark):
     allp = ngram_jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.0)
     got2 = {(r["a"], r["b"]): r["jaccard"] for r in allp.collect()}
     assert abs(got2[(0, 2)] - 1 / 7) < 1e-12
+
+
+def test_simhash_hash_modes_equivalent(spark):
+    """The hash knob changes the RANDOM PROJECTION, so hamming
+    estimates on short/low-token docs legitimately differ near the
+    threshold (SimHash semantics, not a bug — variance ~1/sqrt(tokens));
+    what must be invariant: (1) exact duplicates have hamming 0 and are
+    found by BOTH modes, (2) each mode's exact-dup recall is identical,
+    (3) the modes agree on the clear majority of pairs on the fixture."""
+    from colcrush.operators.dedup import simhash_dedup_pairs
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant exact duplicates (the fixture itself has none): id+100000
+    # carries an identical text
+    dups = base.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        *[c for c in base.columns if c != "doc_id"],
+    )
+    docs = base.unionByName(dups).cache()
+    exact_pairs = {(i, i + 100000) for i in range(5)}
+
+    pairs = {}
+    for h in ("xxhash64", "md5"):
+        got = simhash_dedup_pairs(
+            docs, "doc_id", "text", max_hamming=3, hash=h
+        ).collect()
+        pairs[h] = {(r["a"], r["b"]) for r in got}
+        hams = {(r["a"], r["b"]): r["hamming"] for r in got}
+        for p in exact_pairs:
+            assert hams.get(p) == 0, f"{h}: exact dup {p} not at hamming 0"
+    inter = pairs["xxhash64"] & pairs["md5"]
+    union = pairs["xxhash64"] | pairs["md5"]
+    assert len(inter) / len(union) >= 0.5, (
+        f"modes diverge beyond threshold noise: {union - inter}"
+    )
+
+
+def test_winnow_hash_modes_equivalent(spark):
+    """The winnowing GUARANTEE (Schleimer et al. §2: any shared
+    substring of length >= w+k-1 yields at least one shared
+    fingerprint) is hash-independent — both modes must detect planted
+    exact dups and single-edit near-dups. Fingerprint VALUES and the
+    weak-similarity tail differ between hashes (different window
+    minima), which is inherent; the detection structure for real
+    near-dups is what the knob must preserve."""
+    from colcrush.functions.text import winnow_fingerprints
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).where(F.length("text") >= 200)
+    seed_ids = [
+        r["doc_id"] for r in base.orderBy("doc_id").limit(5).collect()
+    ]
+    seeds = base.where(F.col("doc_id").isin(seed_ids))
+    exact = seeds.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    # single-char edit in the middle: long shared prefix+suffix remain
+    near = seeds.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 100), F.lit("#"),
+            F.expr("substring(text, 102)"),
+        ).alias("text"),
+    )
+    docs = base.select("doc_id", "text").unionByName(exact).unionByName(near).cache()
+    planted = {(i, i + 100000) for i in seed_ids} | {
+        (i, i + 200000) for i in seed_ids
+    }
+
+    for h in ("xxhash64", "md5"):
+        fps = docs.select(
+            "doc_id",
+            F.explode(winnow_fingerprints(F.col("text"), hash=h)).alias("fp"),
+        )
+        l, r = fps.alias("l"), fps.alias("r")
+        shared = (
+            l.join(r, (F.col("l.fp") == F.col("r.fp"))
+                   & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+            .count()
+            .where(F.col("count") >= 3)
+        )
+        got = {(r2["a"], r2["b"]) for r2 in shared.collect()}
+        missing = planted - got
+        assert not missing, f"{h}: planted near-dups missed: {missing}"
+    docs.unpersist()

@@ -16,9 +16,14 @@ def test_stat_str_max_is_upper_bound():
     assert _stat_str_max("short") == "short"
     hi = chr(0x10FFFF) * 100
     assert _stat_str_max(hi) is None  # genuinely unbounded
+    # a truncated prefix ending in U+10FFFF records an unbounded max
+    # (never a SHORTENED one, which column_min_max couldn't tell apart
+    # from an exact short value)
     edge = "a" * 63 + chr(0x10FFFF) + "tail"
-    be = _stat_str_max(edge)
-    assert be is not None and be >= edge
+    assert _stat_str_max(edge) is None
+    # the bound never shortens: it's the 64-char prefix, last char +1
+    b2 = _stat_str_max("b" * 200)
+    assert len(b2) == 64 and b2 == "b" * 63 + "c"
 
 
 def test_string_chunk_pruning_sound_and_effective(spark, tmp_path):
@@ -47,3 +52,41 @@ def test_string_chunk_pruning_sound_and_effective(spark, tmp_path):
     got = scan(spark, p2, filters=[("k", "==", target)])
     rows = got.collect()
     assert len(rows) == 1 and rows[0]["v"] == 123  # soundness under truncation
+
+
+def test_column_min_max_returns_actual_long_string_values(spark, tmp_path):
+    """parquet4s Stats.min/max returns ACTUAL column values
+    (Stats.scala:34-58). Long-string stats are truncated at encode
+    time, so the engine must detect suspect (>=64-char / unbounded)
+    stats rows and fold decoded extremes for just those chunks —
+    round-2 returned bare 64-char bounds with no way to detect it."""
+    from colcrush.engine.scan import column_min_max
+
+    rows = [
+        (0, "aaa-short-min"),                       # the true min (short)
+        (1, "m" * 100 + "MIDDLE"),                  # long, middle
+        (2, "z" * 80 + "-the-true-max-" + "q" * 40),  # long, true max
+        (3, "z" * 80 + "-the-true-max-" + "p" * 40),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    path = str(tmp_path / "ds")
+    write_encoded(df, path, mode="overwrite", group_cols=["id"])
+    mn, mx = column_min_max(spark, path, "s")
+    texts = {r[1] for r in rows}
+    assert mn == "aaa-short-min"
+    assert mx in texts and mx == max(texts)  # an actual value, the max
+
+    # true min ALSO long (> 64 chars): min side folds too
+    rows2 = [(0, "A" * 100 + "first"), (1, "A" * 100 + "second")]
+    df2 = spark.createDataFrame(rows2, "id long, s string")
+    p2 = str(tmp_path / "ds2")
+    write_encoded(df2, p2, mode="overwrite", group_cols=["id"])
+    mn2, mx2 = column_min_max(spark, p2, "s")
+    assert mn2 == rows2[0][1] and mx2 == rows2[1][1]
+
+    # short-string dataset: pure metadata path returns exact values
+    rows3 = [(0, "apple"), (1, "zebra")]
+    p3 = str(tmp_path / "ds3")
+    write_encoded(spark.createDataFrame(rows3, "id long, s string"), p3,
+                  mode="overwrite", group_cols=["id"])
+    assert column_min_max(spark, p3, "s") == ("apple", "zebra")
