@@ -26,6 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from . import fsio
 from .decoder import decode_table
 from .encoder import MANIFEST_COLS, encode_table, group_key_expr
 
@@ -35,19 +36,17 @@ MANIFEST_DIR = "manifest"
 
 
 def _write_schema(path: str, schema: T.StructType) -> None:
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, SCHEMA_FILE), "w") as f:
-        f.write(schema.json())
+    fsio.makedirs(path)
+    fsio.write_text(fsio.join(path, SCHEMA_FILE), schema.json())
 
 
 def read_schema(path: str) -> T.StructType:
-    p = os.path.join(path, SCHEMA_FILE)
-    if not os.path.exists(p):
+    p = fsio.join(path, SCHEMA_FILE)
+    if not fsio.exists(p):
         epochs = _committed_epoch_dirs(path)
         if epochs:
-            p = os.path.join(epochs[0], SCHEMA_FILE)
-    with open(p) as f:
-        return T.StructType.fromJson(json.load(f))
+            p = fsio.join(epochs[0], SCHEMA_FILE)
+    return T.StructType.fromJson(fsio.read_json(p))
 
 
 def write_encoded(
@@ -62,11 +61,11 @@ def write_encoded(
     /root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/IOOps.scala:37-56),
     'overwrite', or 'append'.
     """
-    chunks_path = os.path.join(path, CHUNKS_DIR)
-    manifest_path = os.path.join(path, MANIFEST_DIR)
-    if mode == "error" and os.path.exists(chunks_path):
+    chunks_path = fsio.join(path, CHUNKS_DIR)
+    manifest_path = fsio.join(path, MANIFEST_DIR)
+    if mode == "error" and fsio.exists(chunks_path):
         raise FileExistsError(f"{path} already contains an encoded dataset")
-    if mode == "append" and os.path.exists(os.path.join(path, SCHEMA_FILE)):
+    if mode == "append" and fsio.exists(fsio.join(path, SCHEMA_FILE)):
         existing = read_schema(path)
         if existing != df.schema:
             raise ValueError(
@@ -96,14 +95,14 @@ def _committed_epoch_dirs(path: str) -> list[str]:
     """Epoch sub-datasets (streaming sink layout) whose manifest is
     committed — an epoch dir with chunks but no manifest/_SUCCESS is an
     uncommitted partial write and must stay invisible to readers."""
-    if not os.path.isdir(path):
+    if not fsio.isdir(path):
         return []
     out = []
-    for d in sorted(os.listdir(path)):
-        if d.startswith("epoch=") and os.path.exists(
-            os.path.join(path, d, MANIFEST_DIR, "_SUCCESS")
+    for d in sorted(fsio.listdir(path)):
+        if d.startswith("epoch=") and fsio.exists(
+            fsio.join(path, d, MANIFEST_DIR, "_SUCCESS")
         ):
-            out.append(os.path.join(path, d))
+            out.append(fsio.join(path, d))
     return out
 
 
@@ -112,26 +111,26 @@ def _direct_committed(path: str) -> bool:
     manifest carries Spark's job-commit marker — a crashed compaction
     or write leaves chunks without a committed manifest, and readers
     must then keep seeing the epoch sub-datasets instead."""
-    return os.path.exists(os.path.join(path, MANIFEST_DIR, "_SUCCESS"))
+    return fsio.exists(fsio.join(path, MANIFEST_DIR, "_SUCCESS"))
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
-    direct = os.path.join(path, MANIFEST_DIR)
+    direct = fsio.join(path, MANIFEST_DIR)
     if _direct_committed(path):
         return spark.read.parquet(direct)
     epochs = _committed_epoch_dirs(path)
     if epochs:
-        return spark.read.parquet(*[os.path.join(e, MANIFEST_DIR) for e in epochs])
+        return spark.read.parquet(*[fsio.join(e, MANIFEST_DIR) for e in epochs])
     return spark.read.parquet(direct)  # raise Spark's own path error
 
 
 def read_chunks(spark: SparkSession, path: str) -> DataFrame:
-    direct = os.path.join(path, CHUNKS_DIR)
+    direct = fsio.join(path, CHUNKS_DIR)
     if _direct_committed(path):
         return spark.read.parquet(direct)
     epochs = _committed_epoch_dirs(path)
     if epochs:
-        return spark.read.parquet(*[os.path.join(e, CHUNKS_DIR) for e in epochs])
+        return spark.read.parquet(*[fsio.join(e, CHUNKS_DIR) for e in epochs])
     return spark.read.parquet(direct)
 
 
@@ -141,11 +140,10 @@ COMPACTED_FILE = "_compacted.json"
 def _absorbed_epochs(path: str) -> list[str] | None:
     """Epoch dir basenames recorded as absorbed by a compaction, or
     None when no compaction record exists."""
-    p = os.path.join(path, COMPACTED_FILE)
-    if not os.path.exists(p):
+    p = fsio.join(path, COMPACTED_FILE)
+    if not fsio.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)["epochs"]
+    return fsio.read_json(p)["epochs"]
 
 
 def compact_epochs(spark: SparkSession, path: str) -> int:
@@ -166,8 +164,6 @@ def compact_epochs(spark: SparkSession, path: str) -> int:
     inconsistent state (a sink kept writing past compaction — the
     encode sink refuses to, see streaming/encode_sink.py) and raise.
     """
-    import shutil
-
     epochs = _committed_epoch_dirs(path)
     if _direct_committed(path):
         # resume of the cleanup phase: delete only what the base absorbs
@@ -187,29 +183,30 @@ def compact_epochs(spark: SparkSession, path: str) -> int:
                 "dataset path and compact there"
             )
         for e in epochs:
-            shutil.rmtree(e, ignore_errors=True)
+            fsio.rmtree(e)
         return 0
     if not epochs:
         return 0
-    chunks = spark.read.parquet(*[os.path.join(e, CHUNKS_DIR) for e in epochs])
+    chunks = spark.read.parquet(*[fsio.join(e, CHUNKS_DIR) for e in epochs])
     (
         chunks.write.mode("overwrite")
         .option("compression", "uncompressed")
-        .parquet(os.path.join(path, CHUNKS_DIR))
+        .parquet(fsio.join(path, CHUNKS_DIR))
     )
     manifest = spark.read.parquet(
-        *[os.path.join(e, MANIFEST_DIR) for e in epochs]
+        *[fsio.join(e, MANIFEST_DIR) for e in epochs]
     )
-    shutil.copyfile(
-        os.path.join(epochs[0], SCHEMA_FILE), os.path.join(path, SCHEMA_FILE)
+    fsio.write_text(
+        fsio.join(path, SCHEMA_FILE),
+        fsio.read_text(fsio.join(epochs[0], SCHEMA_FILE)),
     )
-    rec_tmp = os.path.join(path, COMPACTED_FILE + ".tmp")
-    with open(rec_tmp, "w") as f:
-        json.dump({"epochs": [os.path.basename(e) for e in epochs]}, f)
-    os.replace(rec_tmp, os.path.join(path, COMPACTED_FILE))
-    manifest.write.mode("overwrite").parquet(os.path.join(path, MANIFEST_DIR))
+    fsio.write_text_atomic(
+        fsio.join(path, COMPACTED_FILE),
+        json.dumps({"epochs": [os.path.basename(e) for e in epochs]}),
+    )
+    manifest.write.mode("overwrite").parquet(fsio.join(path, MANIFEST_DIR))
     for e in epochs:
-        shutil.rmtree(e, ignore_errors=True)
+        fsio.rmtree(e)
     return len(epochs)
 
 
@@ -257,10 +254,10 @@ def resume_encode(
     byte-identical chunks for the missing groups.
     """
     spark = df.sparkSession
-    manifest_path = os.path.join(path, MANIFEST_DIR)
-    chunks_path = os.path.join(path, CHUNKS_DIR)
-    if not os.path.exists(manifest_path):
-        if os.path.exists(os.path.join(chunks_path, "_SUCCESS")):
+    manifest_path = fsio.join(path, MANIFEST_DIR)
+    chunks_path = fsio.join(path, CHUNKS_DIR)
+    if not fsio.exists(manifest_path):
+        if fsio.exists(fsio.join(chunks_path, "_SUCCESS")):
             # crashed between chunk write and manifest commit: the chunk
             # job itself completed (_SUCCESS), so recover the manifest
             manifest = spark.read.parquet(chunks_path).select(*MANIFEST_COLS)

@@ -406,7 +406,21 @@ def encode_table(
             df = df.withColumn(salt_col, F.lit(0).cast("int"))
         df = df.withColumn(gk_col, group_key_expr(group_cols))
         df = df.repartition(num_partitions, *group_cols, salt_col)
-        df = df.sortWithinPartitions(*(group_cols + [salt_col, key_col]))
+        # lead the sort with an 8-byte hash of the group key: the
+        # sorter's radix prefix then resolves almost every comparison
+        # without touching the group strings (fixture repos share long
+        # prefixes, degenerating string-prefix comparison). Hash
+        # collisions stay SOUND — the group columns follow as
+        # tie-breakers, so (group, salt) runs remain contiguous and
+        # rows within a group keep the same key_col order; chunk bytes
+        # and ids are unchanged (pinned by the determinism tests).
+        df = df.sortWithinPartitions(
+            *(
+                [F.xxhash64(F.col(gk_col)).asc()]
+                + group_cols
+                + [salt_col, key_col]
+            )
+        )
     elif range_cols:
         df = df.withColumn(key_col, F.lit(0).cast("long"))
         df = df.repartitionByRange(num_partitions, *range_cols)

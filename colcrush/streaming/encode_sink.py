@@ -26,6 +26,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
+from ..engine import fsio
 from ..engine.dataset import MANIFEST_DIR, _direct_committed, write_encoded
 
 
@@ -53,8 +54,8 @@ def encoded_stream_sink(
                 "streaming epochs written now would be invisible to "
                 "readers. Point the sink at a fresh dataset path."
             )
-        epoch_path = os.path.join(path, f"epoch={int(epoch_id):08d}")
-        if os.path.exists(os.path.join(epoch_path, MANIFEST_DIR, "_SUCCESS")):
+        epoch_path = fsio.join(path, f"epoch={int(epoch_id):08d}")
+        if fsio.exists(fsio.join(epoch_path, MANIFEST_DIR, "_SUCCESS")):
             return  # replay of a fully committed epoch: idempotent no-op
         n = batch_df.count()
         if n == 0:

@@ -44,21 +44,24 @@ class PostWriteState:
     flushed: bool = field(default=False)
 
     def flush(self) -> str:
-        d = os.path.join(self._path, "_flush")
-        os.makedirs(d, exist_ok=True)
-        marker = os.path.join(d, f"{self.epoch_id:08d}")
-        with open(marker, "w") as f:
-            f.write(str(self.processed_record_count))
+        from ..engine import fsio
+
+        d = fsio.join(self._path, "_flush")
+        fsio.makedirs(d)
+        marker = fsio.join(d, f"{self.epoch_id:08d}")
+        fsio.write_text(marker, str(self.processed_record_count))
         self.flushed = True
         return marker
 
 
 def last_flushed_epoch(path: str) -> int | None:
     """Largest epoch with a flush marker, or None."""
-    d = os.path.join(path, "_flush")
-    if not os.path.isdir(d):
+    from ..engine import fsio
+
+    d = fsio.join(path, "_flush")
+    if not fsio.isdir(d):
         return None
-    eps = [int(x) for x in os.listdir(d) if x.isdigit()]
+    eps = [int(x) for x in fsio.listdir(d) if x.isdigit()]
     return max(eps) if eps else None
 
 
