@@ -356,6 +356,17 @@ def _so_dir() -> str:
     uid = os.getuid() if hasattr(os, "getuid") else 0
     d = os.path.join(tempfile.gettempdir(), f"colcrush-{uid}")
     os.makedirs(d, mode=0o700, exist_ok=True)
+    # exist_ok trusts a PRE-EXISTING dir — which an attacker could have
+    # created first at the predictable name, letting them swap entries
+    # between the stat check and dlopen (TOCTOU). Require the dir
+    # itself to be ours and closed to group/other before using it.
+    st = os.stat(d)
+    if hasattr(os, "geteuid") and st.st_uid != os.geteuid():
+        raise RuntimeError(f"{d} exists but is not owned by this user")
+    if st.st_mode & 0o077:
+        os.chmod(d, 0o700)
+        if os.stat(d).st_mode & 0o077:
+            raise RuntimeError(f"{d} permissions could not be restricted")
     return d
 
 

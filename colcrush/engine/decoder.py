@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -77,6 +78,18 @@ def _rescale_decimal(arr: pa.Array, precision: int, scale: int) -> pa.Array:
     t = arr.type
     if t.precision == precision and t.scale == scale:
         return arr
+    if precision >= t.precision and scale >= t.scale:
+        # no rounding can occur: a DECIMAL(p,s) value has <= p
+        # significant digits (so the MathContext step is identity) and
+        # widening the scale is an exact 10^k unscaled multiply —
+        # vectorized arrow cast instead of per-value Python in the
+        # decode hot path; overflow still surfaces as ValueError
+        try:
+            return pc.cast(arr, pa.decimal128(precision, scale))
+        except (pa.ArrowInvalid, OverflowError) as e:
+            raise ValueError(
+                f"rescale to DECIMAL({precision},{scale}) overflows: {e}"
+            ) from e
     ctx = dec.Context(prec=precision, rounding=dec.ROUND_HALF_UP)
     wide = dec.Context(prec=60, rounding=dec.ROUND_HALF_UP)
     exp = dec.Decimal(1).scaleb(-scale)

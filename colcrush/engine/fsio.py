@@ -114,16 +114,21 @@ def write_text(path: str, content: str) -> None:
 def write_text_atomic(path: str, content: str) -> None:
     """Write via a temp sibling + rename — atomic on POSIX and HDFS;
     object stores degrade to copy semantics, acceptable for a small
-    marker file."""
+    marker file. Hadoop's FileSystem.rename reports failure by
+    RETURNING false (no exception), so both steps are checked: a
+    silently-lost commit record would leave the dataset in a state a
+    later crash cannot recover from."""
     tmp = path + ".tmp"
     write_text(tmp, content)
     if not has_scheme(path):
         os.replace(tmp, path)
         return
     _, fs, p = _fs(path)
-    jvm, _, tp = _fs(tmp)
-    fs.delete(p, False)
-    fs.rename(tp, p)
+    _, _, tp = _fs(tmp)
+    if fs.exists(p) and not fs.delete(p, False):
+        raise IOError(f"could not replace existing {path}")
+    if not fs.rename(tp, p):
+        raise IOError(f"rename {tmp} -> {path} failed")
 
 
 def read_json(path: str):

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dataset import read_chunks, read_manifest, read_schema
 from .decoder import decode_table
+from .encoder import _STAT_TRUNC
 
 _OPS = {"==", "!=", "<", "<=", ">", ">=", "in", "is_null", "not_null"}
 
@@ -54,27 +55,34 @@ def column_min_max(spark: SparkSession, path: str, column: str) -> tuple[Any, An
     actual-value contract while short-string datasets stay pure
     metadata reads. (Unbounded edge: a max ending in U+10FFFF chars
     can shorten under increment; such stats rows are also treated as
-    suspect via the null-max check.)
+    suspect via the null-max check. Chunks whose string stats were
+    skipped entirely at encode time — avg value > 256B — have null
+    bounds but live rows, and are likewise decoded.)
     """
     m = read_manifest(spark, path).where(F.col("column") == column)
     row = m.agg(
         F.min("min_d").alias("mn_d"),
         F.max("max_d").alias("mx_d"),
-        F.min("min_s").alias("mn_s"),
-        F.max("max_s").alias("mx_s"),
     ).collect()[0]
     if row["mn_d"] is not None:
         return row["mn_d"], row["mx_d"]
-    if row["mn_s"] is None:
-        return None, None
 
-    trunc = 64  # encoder._STAT_TRUNC
-    suspect_min = F.length("min_s") >= trunc
+    trunc = _STAT_TRUNC
+    # stats can be SKIPPED entirely at encode time (long-string columns,
+    # avg value > 256B: codecs/column.py _string_parts gate) — such a
+    # chunk has values (n_nulls < n_rows) but null min_s/max_s and must
+    # be decoded, not treated as stat-less all-null
+    skipped = F.coalesce(
+        (F.col("n_nulls") < F.col("n_rows")) & F.col("min_s").isNull(),
+        F.lit(False),
+    )
+    suspect_min = skipped | F.coalesce(F.length("min_s") >= trunc, F.lit(False))
     # an incremented (or overflow-shortened, possibly NULL) max is
     # suspect whenever the chunk holds any long string; min_s length is
     # the cheap witness for "this chunk has >= trunc-char values"
     suspect_max = (
-        (F.length("max_s") >= trunc)
+        skipped
+        | F.coalesce(F.length("max_s") >= trunc, F.lit(False))
         | (F.col("max_s").isNull() & F.col("min_s").isNotNull())
     )
     exact_row = m.agg(
@@ -99,7 +107,10 @@ def column_min_max(spark: SparkSession, path: str, column: str) -> tuple[Any, An
         return r["mn"], r["mx"]
 
     # decode only suspect chunks that could still beat the exact stats
-    min_cond = suspect_min if mn is None else (suspect_min & (F.col("min_s") < mn))
+    # (a null bound — stats skipped — can always beat them)
+    min_cond = suspect_min if mn is None else (
+        suspect_min & (F.col("min_s").isNull() | (F.col("min_s") < mn))
+    )
     max_cond = suspect_max if mx is None else (
         suspect_max & (F.col("max_s").isNull() | (F.col("max_s") > mx))
     )

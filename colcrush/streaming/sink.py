@@ -102,10 +102,18 @@ def via_parquet(
                 .parquet(path)
             )
             if post_write is not None:
-                row = batch_df.agg(
+                # max_by over a per-row monotonic id pins "last record"
+                # to the final row of the highest partition (what
+                # tail(1) returned) — a bare F.last() in a global agg
+                # is partial-merge-order-dependent and could surface an
+                # arbitrary partition's last row as the watermark
+                cols = batch_df.columns
+                row = batch_df.withColumn(
+                    "__mid", F.monotonically_increasing_id()
+                ).agg(
                     F.count(F.lit(1)).alias("n"),
                     F.collect_set(F.struct(*partition_by)).alias("parts"),
-                    F.last(F.struct(*batch_df.columns)).alias("last"),
+                    F.max_by(F.struct(*cols), F.col("__mid")).alias("last"),
                 ).collect()[0]
                 state = PostWriteState(
                     epoch_id=epoch_id,
@@ -113,7 +121,15 @@ def via_parquet(
                     last_processed_record=(
                         row["last"].asDict() if row["n"] else None
                     ),
-                    partitions=sorted(tuple(p) for p in row["parts"]),
+                    # None-safe sort: a nullable partition column (rows
+                    # routed to the Hive default partition) must not
+                    # crash the stream on tuple comparison
+                    partitions=sorted(
+                        (tuple(p) for p in row["parts"]),
+                        key=lambda t: tuple(
+                            (v is None, "" if v is None else v) for v in t
+                        ),
+                    ),
                     _path=path,
                 )
                 post_write(batch_df, epoch_id, state)

@@ -474,3 +474,29 @@ def test_user_registered_value_codec():
             decode_array(blob)
     finally:
         unregister_value_codec("be4-id")
+
+
+def test_native_so_dir_enforces_private_permissions(monkeypatch, tmp_path):
+    """_so_dir must not trust a pre-existing cache dir with loose
+    permissions (review finding: a pre-created world-accessible dir at
+    the predictable name enables a TOCTOU .so swap between the stat
+    check and dlopen). A loose dir is re-restricted to 0700."""
+    import os
+    import tempfile as tf
+
+    from colcrush.codecs import _native as native_mod
+
+    monkeypatch.setattr(tf, "gettempdir", lambda: str(tmp_path))
+    uid = os.getuid()
+    pre = tmp_path / f"colcrush-{uid}"
+    pre.mkdir(mode=0o777)
+    os.chmod(pre, 0o777)  # simulate an attacker-created loose dir
+    d = native_mod._so_dir()
+    assert d == str(pre)
+    assert (os.stat(d).st_mode & 0o077) == 0  # group/other closed
+
+    # fresh create path: 0700 from the start
+    import shutil
+    shutil.rmtree(pre)
+    d2 = native_mod._so_dir()
+    assert (os.stat(d2).st_mode & 0o077) == 0

@@ -253,3 +253,59 @@ def test_read_custom_and_single_file_sink(spark, tmp_path):
 
     with _pytest.raises(Exception):
         write_single_file(df, sdir)
+
+
+def test_streaming_sink_null_partition_without_default(spark, tmp_path):
+    """A nullable partition column with NO default_partition: rows land
+    in the Hive default partition, collect_set surfaces a None part
+    value, and the hook's partition sort must not crash on None
+    (review finding: tuple comparison raised TypeError)."""
+    from colcrush.streaming.sink import via_parquet
+
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = spark.range(30).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 2).cast("string"))
+        .alias("part"),
+    )
+    df.write.parquet(src_dir)
+    seen = {}
+
+    def post(bdf, epoch, state):
+        seen["parts"] = state.partitions
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    q = via_parquet(stream, out_dir, ["part"], ck, post_write=post)
+    q.awaitTermination(60)
+    assert spark.read.parquet(out_dir).count() == 30
+    assert (None,) in seen["parts"]
+    assert seen["parts"][-1] == (None,)  # None sorts last, others ordered
+    assert seen["parts"][:-1] == sorted(seen["parts"][:-1])
+
+
+def test_streaming_sink_last_record_deterministic(spark, tmp_path):
+    """last_processed_record is the batch's FINAL row (tail semantics),
+    not an arbitrary partition's last row (review finding: bare
+    F.last() in a global aggregate is partial-merge-order-dependent)."""
+    from colcrush.streaming.sink import via_parquet
+
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("part")
+    )
+    # one ordered file -> one input partition -> the final row is id=99
+    df.orderBy("id").coalesce(1).write.parquet(src_dir)
+    seen = {}
+
+    def post(bdf, epoch, state):
+        seen["last"] = state.last_processed_record
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    q = via_parquet(stream, out_dir, ["part"], ck, post_write=post)
+    q.awaitTermination(60)
+    assert seen["last"]["id"] == 99

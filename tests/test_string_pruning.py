@@ -90,3 +90,40 @@ def test_column_min_max_returns_actual_long_string_values(spark, tmp_path):
     write_encoded(spark.createDataFrame(rows3, "id long, s string"), p3,
                   mode="overwrite", group_cols=["id"])
     assert column_min_max(spark, p3, "s") == ("apple", "zebra")
+
+
+def test_column_min_max_covers_stats_skipped_chunks(spark, tmp_path):
+    """Stats are SKIPPED entirely for long-string chunks (avg > 256B:
+    codecs/column.py gate) — null min_s/max_s with live rows. Such
+    chunks must be decoded by column_min_max, not silently ignored
+    (review finding: the true extreme could live only in them)."""
+    from colcrush.engine.scan import column_min_max
+
+    # group 0: short strings (exact stats); group 1: 300B strings whose
+    # stats are skipped and which hold BOTH true extremes
+    rows = [
+        (0, "apple"),
+        (0, "zebra"),
+        (1, "AAA-true-min-" + "a" * 300),
+        (1, "zzz-true-max-" + "z" * 300),
+    ]
+    df = spark.createDataFrame(rows, "g long, s string")
+    path = str(tmp_path / "skipped")
+    write_encoded(df, path, mode="overwrite", group_cols=["g"])
+    mn, mx = column_min_max(spark, path, "s")
+    assert mn == rows[2][1]  # beats 'apple', found only by decoding
+    assert mx == rows[3][1]  # beats 'zebra'
+
+    # ALL chunks skipped: no stats anywhere, still actual values
+    rows2 = [(0, "A-min-" + "b" * 300), (1, "z-max-" + "y" * 300)]
+    p2 = str(tmp_path / "all_skipped")
+    write_encoded(spark.createDataFrame(rows2, "g long, s string"), p2,
+                  mode="overwrite", group_cols=["g"])
+    assert column_min_max(spark, p2, "s") == (rows2[0][1], rows2[1][1])
+
+    # all-null column: (None, None), no decode crash
+    rows3 = [(0, None), (1, None)]
+    p3 = str(tmp_path / "all_null")
+    write_encoded(spark.createDataFrame(rows3, "g long, s string"), p3,
+                  mode="overwrite", group_cols=["g"])
+    assert column_min_max(spark, p3, "s") == (None, None)
