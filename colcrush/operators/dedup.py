@@ -431,3 +431,69 @@ def embedding_neardup_pairs(
     joined = cands.join(vl, "a").join(vr, "b")
     cos = cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine")
     return joined.select("a", "b", cos).where(F.col("cosine") >= threshold)
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over duplicate pairs: (doc_id, cluster)
+    where cluster = the smallest doc id reachable through any chain of
+    pair edges. Turns PAIRWISE dedup output (minhash/simhash/ngram/
+    exact) into canonical-document clusters — A~B and B~C must collapse
+    to one keeper even when A~C was never emitted as a pair.
+
+    Distributed min-label propagation: each round every node takes the
+    min label among itself and its neighbors (one join + one groupBy
+    per round, all Catalyst-planned), converging in O(component
+    diameter) rounds. Near-dup components are shallow in practice
+    (stars around a popular document; short chains of borderline
+    pairs), so the loop exits after 2-4 rounds; ``max_iterations``
+    bounds pathological chains. Each round is localCheckpoint()ed to
+    truncate the growing lineage (the standard iterative-algorithm
+    pattern — without it Catalyst re-plans the whole history each
+    round), and the per-round convergence check is a scalar count, not
+    a collect of data. At extreme diameters the alternating
+    large-star/small-star contraction (O(log n) rounds) is the drop-in
+    upgrade; the emitted schema is identical.
+
+    Returns one row per node that appears in ``pairs``; singleton
+    documents (no dup edges) are implicitly their own cluster.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        msgs = edges.join(
+            labels, edges["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), F.col("label"))
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))

@@ -625,6 +625,40 @@ def q_multimodal_features(spark, sf):
     return feats.select("media_id", "kind", F.size("features").alias("dim"))
 
 
+def q_dedup_clusters(spark, sf):
+    """Distributed connected components over the MinHash near-dup PAIR
+    set: A~B and B~C must collapse to one cluster even though A~C was
+    never emitted as a pair (the fixture has a genuine 3-node chain).
+    The oracle recomputes the exact pair set and closes it with a
+    recursive transitive-closure CTE — any propagation bug (dropped
+    edge direction, premature convergence, label mixing) breaks the
+    match."""
+    from .operators.dedup import dup_clusters
+
+    pairs = minhash_dedup_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        threshold=0.5, exact_verify=True,
+    )
+    return dup_clusters(pairs, id_a="a", id_b="b")
+
+
+def q_deterministic_sample(spark, sf):
+    """Content-addressed stratified Bernoulli sample: per-language keep
+    rates as thresholds on the md5(doc_id) prefix — reproducible across
+    engines (the oracle recomputes membership bit-for-bit), cluster
+    sizes, and incremental appends; no RNG state anywhere."""
+    from .operators.sampling import deterministic_sample, sample_bucket
+
+    docs = _t(spark, sf, "documents")
+    out = deterministic_sample(
+        docs, "doc_id", strata={"en": 0.05, "zh": 0.5},
+        strata_col="lang", default_rate=0.125,
+    )
+    return out.select(
+        "doc_id", "lang", sample_bucket(F.col("doc_id")).alias("bucket")
+    )
+
+
 QUERIES = {
     "scan_projected": q_scan_projected,
     "scan_filtered": q_scan_filtered,
@@ -675,6 +709,8 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
     "multimodal_features": q_multimodal_features,
+    "dedup_clusters": q_dedup_clusters,
+    "deterministic_sample": q_deterministic_sample,
 }
 
 
@@ -1040,6 +1076,49 @@ ORACLES = {
     "simhash_dedup": _SIMHASH_SQL,
     "embedding_neardup": _EMB_NEARDUP_SQL,
     "winnow_fingerprints": _WINNOW_SQL,
+    # the exact >=0.5 Jaccard pair set (same derivation as
+    # _MINHASH_SQL), closed into components by a recursive
+    # transitive-closure CTE — an algorithm-independent derivation of
+    # the expected clusters
+    "dedup_clusters": """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(0, greatest(len(w) - 3, 0) + 1),
+    i -> array_to_string(w[i+1:i+3], ' '))) AS s
+  FROM w
+), sized AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+inv AS (SELECT doc_id, sz, unnest(s) AS tok FROM sized),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i_cnt,
+         any_value(l.sz) AS sza, any_value(r.sz) AS szb
+  FROM inv l JOIN inv r ON l.tok = r.tok AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+),
+pairs AS (
+  SELECT a, b FROM inter
+  WHERE CAST(i_cnt AS DOUBLE) / (sza + szb - i_cnt) >= 0.5
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach AS (
+  SELECT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node
+""",
+    # thresholds = format(int(rate * 16^4), '04x'):
+    # en 0.05 -> 0ccc, zh 0.5 -> 8000, default 0.125 -> 2000
+    "deterministic_sample": """
+WITH b AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN '0ccc' WHEN 'zh' THEN '8000'
+                ELSE '2000' END
+""",
     # rows-only (no oracle): multimodal_features (mandated media-decode
     # stub) and the *_fast twins of simhash_dedup / winnow_fingerprints
     # (xxhash64 is Spark-native, not ANSI-SQL-expressible — the md5

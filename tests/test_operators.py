@@ -361,3 +361,77 @@ def test_winnow_hash_modes_equivalent(spark):
         missing = planted - got
         assert not missing, f"{h}: planted near-dups missed: {missing}"
     docs.unpersist()
+
+
+def test_dup_clusters_multi_hop_components(spark):
+    """Connected components over pair edges: chains and triangles must
+    collapse to one cluster per component, including a path long
+    enough to need several propagation rounds."""
+    from colcrush.operators.dedup import dup_clusters
+
+    edges = (
+        [(i, i + 1) for i in range(1, 12)]       # path 1..12 (11 hops)
+        + [(20, 21), (21, 22), (22, 20)]          # triangle
+        + [(30, 31)]                              # isolated pair
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()
+    }
+    assert got == (
+        {i: 1 for i in range(1, 13)}
+        | {20: 20, 21: 20, 22: 20}
+        | {30: 30, 31: 30}
+    )
+
+
+def test_dup_clusters_direction_and_duplicates(spark):
+    """Edge direction and repeated pairs must not matter."""
+    from colcrush.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 5), (3, 1), (5, 7), (7, 5)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 3: 1, 5: 1, 7: 1}
+
+
+def test_deterministic_sample(spark):
+    """Hash-based sampling: reproducible, stratified, and a pure filter
+    (membership depends only on the row's own key)."""
+    import pytest
+
+    from colcrush.operators.sampling import deterministic_sample
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    a = {r["id"] for r in deterministic_sample(df, "id", rate=0.25).collect()}
+    b = {r["id"] for r in deterministic_sample(df, "id", rate=0.25).collect()}
+    assert a == b and 0.18 < len(a) / 2000 < 0.32
+
+    # monotone: a smaller rate samples a SUBSET (threshold semantics)
+    c = {r["id"] for r in deterministic_sample(df, "id", rate=0.1).collect()}
+    assert c <= a
+
+    # membership is row-local: sampling half the data keeps exactly the
+    # intersection (stable under appends/splits)
+    half = df.where(F.col("id") < 1000)
+    h = {r["id"] for r in deterministic_sample(half, "id", rate=0.25).collect()}
+    assert h == {i for i in a if i < 1000}
+
+    # strata: per-group rates
+    s = deterministic_sample(
+        df, "id", strata={"0": 1.0, "1": 0.0}, strata_col="g",
+        default_rate=0.5,
+    ).groupBy("g").count().collect()
+    by_g = {r["g"]: r["count"] for r in s}
+    assert by_g.get("0") == 667 and "1" not in by_g
+    assert 233 < by_g.get("2", 0) < 433
+
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "id", rate=1.5)
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "id", strata={"0": 0.5})
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "id")
