@@ -503,10 +503,26 @@ def _choose(
         # dictionary collapses that hard (measured floor ~0.2 on
         # templated code), so the training pass would be pure waste
         skip_fsst = dict_est is not None and dict_est * 8 < plain_size
+        if (
+            not skip_fsst
+            and dict_est is not None
+            and kernel_cache is not None
+            and "fsst_ratio_est" in kernel_cache
+        ):
+            # negative cache: a previous chunk of this group measured
+            # FSST's achievable ratio; when dict already beats that
+            # projection with 10% margin, the training pass is waste
+            # (single-char flag columns burned one full train per chunk
+            # only for dict to win). Cache state is a pure function of
+            # the group's earlier chunks — groups never split across
+            # partitions — so codec choice stays deterministic.
+            skip_fsst = dict_est < plain_size * kernel_cache["fsst_ratio_est"] * 0.9
         if len(blob) >= 1024 and not skip_fsst:
             fsst_est, fsst_table, fsst_comp = _fsst_estimate(lengths, blob, profile)
             if fsst_est is not None:
                 candidates.append((fsst_est, FSST))
+                if kernel_cache is not None:
+                    kernel_cache["fsst_ratio_est"] = fsst_est / max(1, plain_size)
         candidates.sort()
         codec = candidates[0][1]
         if codec == PLAIN_STR:
