@@ -226,6 +226,16 @@ long colcrush_expand(const unsigned char *in, long n,
     }
     return o;
 }
+
+/* Decoded size of `in`: sum of each byte's expansion length. Replaces
+   the numpy lens[a] gather + sum, which materialized an 8x-input int64
+   temp just to size the output buffer. */
+long colcrush_expand_total(const unsigned char *in, long n, const long *lens) {
+    long t = 0;
+    for (long i = 0; i < n; i++)
+        t += lens[in[i]];
+    return t;
+}
 """
 
 
@@ -246,6 +256,11 @@ class _Kernels:
         self._expand.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        self._expand_total = lib.colcrush_expand_total
+        self._expand_total.restype = ctypes.c_long
+        self._expand_total.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
         ]
         self._pack = lib.colcrush_pack_bits
         self._pack.restype = None
@@ -345,6 +360,10 @@ class _Kernels:
         )
         assert o == total
         return out
+
+    def expand_total(self, a: np.ndarray, lens: np.ndarray) -> int:
+        a = np.ascontiguousarray(a)
+        return int(self._expand_total(a.ctypes.data, len(a), lens.ctypes.data))
 
 
 def _so_dir() -> str:

@@ -221,10 +221,13 @@ def decompress(data: bytes, table: list[tuple[int, int, int]]) -> bytes:
         return data
     flat, starts, lens = _expansions(table)
     a = np.frombuffer(data, dtype=np.uint8)
+    if _native is not None:
+        # output sizing in C too: the numpy lens[a] gather materializes
+        # an 8x-input int64 temp just to compute one sum
+        total = _native.expand_total(a, lens)
+        return _native.expand(a, flat, starts, lens, total).tobytes()
     l = lens[a]
     total = int(l.sum())
-    if _native is not None:
-        return _native.expand(a, flat, starts, lens, total).tobytes()
     idt = np.int32 if total < 2**31 and len(flat) < 2**31 else np.int64
     l = l.astype(idt, copy=False)
     offs = np.zeros(len(a), dtype=idt)
