@@ -460,32 +460,55 @@ def dup_clusters(
     upgrade; the emitted schema is identical.
 
     Returns one row per node that appears in ``pairs``; singleton
-    documents (no dup edges) are implicitly their own cluster.
+    documents (no dup edges) are implicitly their own cluster. Ids keep
+    their input type (string/UUID ids cluster as well as ints — an
+    earlier cast-to-long silently nulled them out); ``cluster`` is the
+    component's min id under the type's natural ordering. Raises
+    RuntimeError if a component's diameter exceeds ``max_iterations``
+    (a silently split clustering would keep extra duplicate keepers).
+
+    Executor-storage hygiene: each round's localCheckpoint pins a copy
+    of the label table; the previous round's blocks are explicitly
+    unpersisted once the convergence check no longer needs them, so
+    storage holds at most two label copies regardless of round count.
     """
-    e = pairs.select(
-        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    sc = pairs.sparkSession.sparkContext
+
+    def _pinned_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _release(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    def _checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
+        before = _pinned_ids()
+        out = df.localCheckpoint()
+        return out, _pinned_ids() - before
+
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(
+        F.col(id_a).isNotNull() & F.col(id_b).isNotNull()
     )
-    edges = (
+    edges, edge_ids = _checkpoint(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels, label_ids = _checkpoint(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         msgs = edges.join(
             labels, edges["a"] == labels["node"]
         ).select(F.col("b").alias("node"), F.col("label"))
-        new_labels = (
-            labels.union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+        new_labels, new_ids = _checkpoint(
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
         )
         changed = (
             new_labels.alias("n")
@@ -493,7 +516,18 @@ def dup_clusters(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        _release(label_ids)  # convergence check done — drop the old copy
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
+            converged = True
             break
+    _release(edge_ids)  # the returned labels are materialized
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iterations} rounds "
+            "— a component's diameter exceeds the bound, and returning the "
+            "partial labels would silently split it into several clusters. "
+            "Raise max_iterations (propagation needs one round per hop of "
+            "the longest chain)."
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))

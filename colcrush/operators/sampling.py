@@ -34,10 +34,19 @@ def _threshold_hex(rate: float) -> str:
     return "g" if n >= _BUCKETS else format(n, "04x")
 
 
+_NULL_SENTINEL = "\x00null"
+
+
 def sample_bucket(key: F.Column) -> F.Column:
     """The row's 4-hex-char sample bucket (string, lexicographic
-    compare == numeric compare on fixed-width hex)."""
-    return F.substring(F.md5(key.cast("string")), 1, 4)
+    compare == numeric compare on fixed-width hex). Null keys hash a
+    sentinel: they all share ONE bucket, so a given rate either keeps
+    every null-key row or none — deterministic, and rate=1.0 keeps
+    them (md5(NULL) is NULL, which a bare comparison would silently
+    drop)."""
+    return F.substring(
+        F.md5(F.coalesce(key.cast("string"), F.lit(_NULL_SENTINEL))), 1, 4
+    )
 
 
 def deterministic_sample(
@@ -54,7 +63,30 @@ def deterministic_sample(
 
     Pure filter expression — vectorized JVM md5, no shuffle, no UDF;
     Catalyst pushes it into the scan where the source allows.
+
+    ``key_col`` must be integral, string, or date typed: float/boolean
+    string renderings differ between engines ('1.0E-7' vs '1e-07' —
+    the same divergence engine/encoder.py's group_key_expr documents),
+    which would break the cross-engine reproducibility this module
+    promises. Cast or format such keys explicitly first.
     """
+    from pyspark.sql import types as T
+
+    if rate is not None and strata is not None:
+        raise ValueError(
+            "rate and strata are mutually exclusive — use default_rate "
+            "for rows outside the listed strata"
+        )
+    kt = df.schema[key_col].dataType
+    if not isinstance(
+        kt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.StringType, T.DateType)
+    ):
+        raise TypeError(
+            f"deterministic_sample key {key_col!r} is {kt.simpleString()}: "
+            "only integral/string/date keys render identically across "
+            "engines; cast or format the key explicitly"
+        )
     bucket = sample_bucket(F.col(key_col))
     if strata is not None:
         if strata_col is None:

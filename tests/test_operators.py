@@ -435,3 +435,69 @@ def test_deterministic_sample(spark):
         deterministic_sample(df, "id", strata={"0": 0.5})
     with pytest.raises(ValueError):
         deterministic_sample(df, "id")
+
+
+def test_dup_clusters_string_ids_and_nonconvergence(spark):
+    """Ids keep their input type (string UUIDs cluster — the original
+    cast-to-long silently dropped every edge), null-id edges are
+    ignored, and a diameter beyond max_iterations raises instead of
+    returning a silently split clustering."""
+    import pytest
+
+    from colcrush.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [("u-b", "u-a"), ("u-b", "u-c"), ("u-x", None), (None, "u-y")],
+        "id_a string, id_b string",
+    )
+    got = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
+    assert got == {"u-a": "u-a", "u-b": "u-a", "u-c": "u-a"}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iterations=3)
+
+
+def test_dup_clusters_releases_checkpoint_blocks(spark):
+    """Each round's localCheckpoint copy is unpersisted once the
+    convergence check is done: after a many-round run at most the
+    final label table stays pinned (plus whatever the session already
+    held)."""
+    from colcrush.operators.dedup import dup_clusters
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    dup_clusters(chain).collect()  # 10 hops -> 11 rounds
+    after = len(sc._jsc.getPersistentRDDs())
+    assert after - before <= 1, f"leaked {after - before} pinned RDDs"
+
+
+def test_deterministic_sample_null_keys_and_guards(spark):
+    """Null keys share one deterministic bucket (kept at rate=1.0, all
+    or nothing otherwise); rate+strata conflict and non-portable key
+    types raise."""
+    import pytest
+
+    from colcrush.operators.sampling import deterministic_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c")], "k long, v string"
+    )
+    kept = deterministic_sample(df, "k", rate=1.0).collect()
+    assert len(kept) == 3  # rate 1.0 keeps null-key rows too
+
+    sub = deterministic_sample(df, "k", rate=0.3)
+    nulls = sub.where(F.col("k").isNull()).count()
+    assert nulls in (0, 2)  # one bucket: all null-key rows or none
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        deterministic_sample(df, "k", rate=0.1, strata={"a": 0.5},
+                             strata_col="v")
+    fdf = spark.createDataFrame([(1.5, "a")], "k double, v string")
+    with pytest.raises(TypeError, match="integral/string/date"):
+        deterministic_sample(fdf, "k", rate=0.5)
