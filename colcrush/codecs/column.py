@@ -214,15 +214,19 @@ def _string_restore(
     validity = None
     if mask is not None and mask.any():
         validity = pa.py_buffer(np.packbits(~mask, bitorder="little").tobytes())
+    # zero-copy buffers (py_buffer holds the ndarray refs) and direct
+    # large_string construction: the old binary->string cast re-scanned
+    # every byte for UTF-8 validation that a roundtrip of valid strings
+    # cannot fail, and offsets.tobytes()/blob.tobytes() copied the
+    # whole column once more
+    target_is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
     arr = pa.Array.from_buffers(
-        pa.large_binary(),
+        pa.large_string() if target_is_str else pa.large_binary(),
         n,
-        [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)],
+        [validity, pa.py_buffer(offsets), pa.py_buffer(blob)],
         null_count=int(mask.sum()) if mask is not None else 0,
     )
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return arr.cast(pa.large_string()).cast(t)
-    return arr.cast(t)
+    return arr if arr.type == t else arr.cast(t)
 
 
 def _blk(b: bytes) -> bytes:
@@ -290,12 +294,13 @@ def _enc_fsst(
     )
 
 
-def _dec_fsst(payload: bytes) -> tuple[np.ndarray, bytes]:
+def _dec_fsst(payload: bytes) -> tuple[np.ndarray, "bytes | np.ndarray"]:
     table, off = fsst_mod.deserialize_table(payload, 0)
     lenb, off = _unblk(payload, off)
     comp, off = _unblk(payload, off)
     lengths = decode_ints(lenb)
-    return lengths, fsst_mod.decompress(comp, table)
+    # raw ndarray: _string_restore wraps it zero-copy in an arrow buffer
+    return lengths, fsst_mod.decompress_raw(comp, table)
 
 
 # ------------------------------------------------------------ public API

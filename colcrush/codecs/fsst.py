@@ -214,9 +214,20 @@ def _expansions(table: list[tuple[int, int, int]]):
 
 
 def decompress(data: bytes, table: list[tuple[int, int, int]]) -> bytes:
+    out = decompress_raw(data, table)
+    return out if isinstance(out, bytes) else out.tobytes()
+
+
+def decompress_raw(
+    data: bytes, table: list[tuple[int, int, int]]
+) -> "bytes | np.ndarray":
     """Single-pass vectorized decode: gather each byte's (precomputed,
     recursive) expansion from a flat table. Index math in int32 when the
-    output fits (it always does for <2 GiB chunks), halving traffic."""
+    output fits (it always does for <2 GiB chunks), halving traffic.
+
+    Returns a uint8 ndarray (or the input bytes when nothing to do) so
+    zero-copy consumers (arrow buffer construction) skip the final
+    tobytes copy; ``decompress`` wraps it for the bytes API."""
     if not table or not data:
         return data
     flat, starts, lens = _expansions(table)
@@ -225,7 +236,7 @@ def decompress(data: bytes, table: list[tuple[int, int, int]]) -> bytes:
         # output sizing in C too: the numpy lens[a] gather materializes
         # an 8x-input int64 temp just to compute one sum
         total = _native.expand_total(a, lens)
-        return _native.expand(a, flat, starts, lens, total).tobytes()
+        return _native.expand(a, flat, starts, lens, total)
     l = lens[a]
     total = int(l.sum())
     idt = np.int32 if total < 2**31 and len(flat) < 2**31 else np.int64
@@ -235,8 +246,7 @@ def decompress(data: bytes, table: list[tuple[int, int, int]]) -> bytes:
     # index = starts[a] + (arange(total) - repeat(offs))
     idx = np.repeat((starts.astype(idt)[a] - offs), l)
     idx += np.arange(total, dtype=idt)
-    out = flat[idx]
-    return out.tobytes()
+    return flat[idx]
 
 
 def decompress_sequential(data: bytes, table: list[tuple[int, int, int]]) -> bytes:
