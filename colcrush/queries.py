@@ -659,6 +659,21 @@ def q_deterministic_sample(spark, sf):
     )
 
 
+def q_contamination_check(spark, sf):
+    """Benchmark-decontamination: per-document fraction of 3-gram
+    shingles shared with a held-out reference slice. Spark joins on
+    xxhash64 longs (no strings cross the shuffle); the oracle joins the
+    shingle STRINGS directly, so any hash-pipeline bug — dropped
+    shingles, collision mishandling, null-placeholder counting —
+    breaks the match."""
+    from .operators.contamination import contamination_overlap
+
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    corpus = docs.where(F.col("doc_id") < 200)
+    reference = docs.where(F.col("doc_id") >= 300)
+    return contamination_overlap(corpus, reference, "doc_id", "text", n=3)
+
+
 QUERIES = {
     "scan_projected": q_scan_projected,
     "scan_filtered": q_scan_filtered,
@@ -711,6 +726,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "dedup_clusters": q_dedup_clusters,
     "deterministic_sample": q_deterministic_sample,
+    "contamination_check": q_contamination_check,
 }
 
 
@@ -1118,6 +1134,29 @@ WITH b AS (
 SELECT doc_id, lang, bucket FROM b
 WHERE bucket < CASE lang WHEN 'en' THEN '0ccc' WHEN 'zh' THEN '8000'
                 ELSE '2000' END
+""",
+    # string-shingle recompute of the xxhash64-long contamination join
+    "contamination_check": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(0, greatest(len(w) - 3, 0) + 1),
+    i -> array_to_string(w[i+1:i+3], ' '))) AS s
+  FROM w
+),
+corp AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE doc_id < 200),
+ref AS (SELECT DISTINCT unnest(s) AS tok FROM sh WHERE doc_id >= 300)
+SELECT c.doc_id AS doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       round(CAST(sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS contamination
+FROM corp c LEFT JOIN ref r ON c.tok = r.tok
+GROUP BY c.doc_id
 """,
     # rows-only (no oracle): multimodal_features (mandated media-decode
     # stub) and the *_fast twins of simhash_dedup / winnow_fingerprints

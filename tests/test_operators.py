@@ -501,3 +501,30 @@ def test_deterministic_sample_null_keys_and_guards(spark):
     fdf = spark.createDataFrame([(1.5, "a")], "k double, v string")
     with pytest.raises(TypeError, match="integral/string/date"):
         deterministic_sample(fdf, "k", rate=0.5)
+
+
+def test_contamination_overlap_planted(spark):
+    """A verbatim benchmark copy scores 1.0, a disjoint doc 0.0, a
+    partial splice in between; xxhash64 plumbing must not count the
+    explode_outer null placeholder as a shingle."""
+    from colcrush.operators.contamination import contamination_overlap
+
+    bench = "the quick brown fox jumps over the lazy dog again and again"
+    half = "the quick brown fox jumps over unrelated words entirely here"
+    ref = spark.createDataFrame([(100, bench)], "rid long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, bench),                                   # full copy
+            (2, "totally different content with zero overlap tokens"),
+            (3, half),                                    # partial splice
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_overlap(corpus, ref, "doc_id", "text").collect()
+    }
+    assert got[1]["contamination"] == 1.0
+    assert got[2]["contamination"] == 0.0
+    assert 0.0 < got[3]["contamination"] < 1.0
+    assert got[1]["n_shingles"] == got[1]["n_hits"] > 0
