@@ -528,3 +528,44 @@ def test_contamination_overlap_planted(spark):
     assert got[2]["contamination"] == 0.0
     assert 0.0 < got[3]["contamination"] < 1.0
     assert got[1]["n_shingles"] == got[1]["n_hits"] > 0
+
+
+def test_dup_clusters_matches_union_find_on_random_graphs(spark):
+    """Randomized cross-check: on seeded random graphs the distributed
+    min-label propagation must equal a local union-find reference
+    (min-id canonical labels), across densities from forest-sparse to
+    near-complete."""
+    import numpy as np
+
+    from colcrush.operators.dedup import dup_clusters
+
+    def union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-id label per component
+        return {n: find(n) for n in nodes}
+
+    for seed, n_nodes, n_edges in ((1, 12, 6), (2, 20, 14), (3, 25, 60), (4, 30, 18)):
+        rng = np.random.default_rng(seed)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n_nodes, size=(n_edges, 2))
+            if a != b
+        ]
+        if not edges:
+            continue
+        nodes = sorted({x for e in edges for x in e})
+        expected = union_find(edges, nodes)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
+        assert got == expected, f"seed {seed}: {got} != {expected}"
