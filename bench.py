@@ -50,6 +50,8 @@ HEADLINE = [
     "token_count",
     "quality_score",
     "window_running",
+    "deterministic_sample",
+    "contamination_check",
 ]
 
 
