@@ -55,6 +55,37 @@ HEADLINE = [
 ]
 
 
+def _tree_cpu_sec() -> float:
+    """CPU seconds of this process + all live descendants (JVM +
+    python workers) — hypervisor-throttle-proof (stall time under a
+    revoked CPU grant does not accrue). Same walker as
+    scripts/scaling_bench.py."""
+    ppids = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            ppids[int(d)] = int(parts[1])
+        except OSError:
+            continue
+    total, stack, seen = 0.0, [os.getpid()], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            total += (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+        except OSError:
+            pass
+        stack.extend([p for p, pp in ppids.items() if pp == pid])
+    return total
+
+
 def bench_encode(spark, n_rows: int, profile: str):
     """Encode throughput + ratio on the deterministic source-code table."""
     src = source_code_df(spark, n_rows, n_repos=50).cache()
@@ -69,6 +100,7 @@ def bench_encode(spark, n_rows: int, profile: str):
         )
     ).collect()[0][0]
 
+    cpu0 = _tree_cpu_sec()
     t0 = time.time()
     enc = encode_table(
         src, group_cols=["repo", "lang"], profile=profile
@@ -78,6 +110,7 @@ def bench_encode(spark, n_rows: int, profile: str):
         F.count(F.lit(1)).alias("chunk_cols"),
     ).collect()[0]
     encode_s = time.time() - t0
+    encode_cpu = _tree_cpu_sec() - cpu0
     enc_bytes = int(agg["enc"])
 
     # decode throughput (cache preserves partitioning -> colocated decode).
@@ -86,10 +119,12 @@ def bench_encode(spark, n_rows: int, profile: str):
     # grants bursty CPU, and the second sample costs nothing extra. The
     # cached pass also pays the cache write, so its time upper-bounds a
     # pure encode (conservative).
+    cpu0 = _tree_cpu_sec()
     t0 = time.time()
     enc_cached = encode_table(src, group_cols=["repo", "lang"], profile=profile).cache()
     enc_cached.count()
     encode_s = min(encode_s, time.time() - t0)
+    encode_cpu = min(encode_cpu, _tree_cpu_sec() - cpu0)
     t0 = time.time()
     dec = decode_table(enc_cached, src.schema, assume_colocated=True)
     n_dec = dec.count()
@@ -137,6 +172,18 @@ def bench_encode(spark, n_rows: int, profile: str):
         "decode_sec": round(decode_s, 3),
         "encode_gbps_content": round(content_bytes / encode_s / 1e9, 4),
         "encode_gbps_raw": round(total_raw / encode_s / 1e9, 4),
+        # throttle-proof companions: this host's hypervisor grants
+        # ~1-8 effective cores in windows of minutes, so identical
+        # binaries draw 3x different wall numbers run to run. CPU
+        # seconds don't accrue while stalled, making per-CPU-second
+        # throughput the stable cross-run efficiency signal (it charges
+        # ALL overhead — JVM shuffle/sort/write included — not just the
+        # codec kernels). Wall numbers above remain the primary,
+        # honestly-measured metric.
+        "encode_cpu_sec": round(encode_cpu, 2),
+        "encode_mbps_content_per_cpu": round(
+            content_bytes / max(0.001, encode_cpu) / 1e6, 1
+        ),
         "ratio_vs_raw": round(enc_bytes / total_raw, 4),
         "ratio_vs_parquet_none": round(enc_bytes / pq_sizes["uncompressed"], 4),
         "ratio_vs_parquet_snappy": round(enc_bytes / pq_bytes, 4),

@@ -47,6 +47,11 @@ MANIFEST_COLS = [
 
 _STAT_TRUNC = 64
 
+# bytes-based partition sizing target for the salted-group encode path
+# (~4 chunks of the default 8 MB per task: big enough to amortize
+# mapInArrow per-task overhead, small enough for scheduler rebalancing)
+TARGET_PARTITION_BYTES = 32 << 20
+
 
 def _stat_str(v) -> str | None:
     """Lower bound: plain truncation keeps min_s <= actual min."""
@@ -305,12 +310,19 @@ def plan_salts(
     df: DataFrame,
     group_cols: list[str],
     target_group_bytes: int,
-) -> DataFrame:
+    with_total: bool = False,
+) -> "DataFrame | tuple[DataFrame, int]":
     """First-pass size histogram -> salts-per-group (skew plan).
 
     Returns a small DataFrame (group_cols..., n_salts int) intended for
     a broadcast join. The mega-repo from the Zipf fixture lands many
     salts; tiny groups get 1.
+
+    ``with_total=True`` additionally returns the table's total byte
+    estimate (for bytes-based partition sizing). The histogram is then
+    localCheckpoint()ed so the total aggregate and the later broadcast
+    build share ONE input pass — the pinned copy is histogram-sized
+    (|groups| rows), not data-sized.
     """
     str_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
     size_expr = None
@@ -319,13 +331,17 @@ def plan_salts(
         e = F.coalesce(e, F.lit(0))
         size_expr = e if size_expr is None else size_expr + e
     sizes = df.groupBy(*group_cols).agg(F.sum(size_expr).alias("_grp_bytes"))
-    return sizes.select(
+    if with_total:
+        sizes = sizes.localCheckpoint()
+        total = sizes.agg(F.sum("_grp_bytes")).collect()[0][0] or 0
+    out = sizes.select(
         *group_cols,
         F.greatest(
             F.lit(1),
             F.ceil(F.col("_grp_bytes") / F.lit(target_group_bytes)).cast("int"),
         ).alias("_n_salts"),
     )
+    return (out, int(total)) if with_total else out
 
 
 def encode_table(
@@ -360,12 +376,20 @@ def encode_table(
     range_cols = list(range_cols or [])
     sort_cols = list(sort_cols or [c for c in df.columns if c not in group_cols])
     spark = df.sparkSession
-    # 4x cores, not 1x: with exactly-one-partition-per-core the slowest
-    # (most skewed) partition sets the wall clock; 4x smaller units give
-    # the scheduler room to rebalance (~10-30% better 4N scaling
-    # measured). Chunk ids stay partition-count-independent by design,
-    # so this is a pure scheduling choice.
-    num_partitions = num_partitions or 4 * spark.sparkContext.defaultParallelism
+    # Partition sizing is BYTES-based (salted-group path): one
+    # partition per ~TARGET_PARTITION_BYTES of input, floored at the
+    # core count so every core gets work. The round-2 "4x cores"
+    # multiplier sized partitions by CLUSTER WIDTH, which backfired at
+    # high core counts on modest inputs — 128 partitions of 2.9 MB at
+    # local[32] measured 2.4x the CPU and 2.5x the wall of 32x12 MB
+    # (mapInArrow per-task overhead dominates below ~10 MB). Bytes
+    # sizing also gives the N- and 4N-core runs the SAME partitioning
+    # (the scheduler, not the plan, absorbs the width difference) and
+    # scales to 100 TB as ~3M x 32 MB tasks. Chunk ids stay
+    # partition-count-independent by design, so this remains a pure
+    # scheduling choice; the non-salted paths keep the width heuristic
+    # (no size histogram available without an extra pass).
+    cores = spark.sparkContext.defaultParallelism
 
     salt_col = "__salt"
     key_col = "__sortkey"
@@ -392,7 +416,15 @@ def encode_table(
         )
     if group_cols:
         if salted:
-            salts = plan_salts(df, group_cols, target_group_bytes)
+            if num_partitions is None:
+                salts, total_bytes = plan_salts(
+                    df, group_cols, target_group_bytes, with_total=True
+                )
+                num_partitions = max(
+                    cores, -(-total_bytes // TARGET_PARTITION_BYTES)
+                )
+            else:
+                salts = plan_salts(df, group_cols, target_group_bytes)
             df = df.join(F.broadcast(salts), on=group_cols, how="left")
             df = df.withColumn(key_col, sort_key)
             df = df.withColumn(
@@ -402,6 +434,8 @@ def encode_table(
                 ).cast("int"),
             ).drop("_n_salts")
         else:
+            if num_partitions is None:
+                num_partitions = 4 * cores
             df = df.withColumn(key_col, sort_key)
             df = df.withColumn(salt_col, F.lit(0).cast("int"))
         df = df.withColumn(gk_col, group_key_expr(group_cols))
@@ -422,6 +456,8 @@ def encode_table(
             )
         )
     elif range_cols:
+        if num_partitions is None:
+            num_partitions = 4 * cores
         df = df.withColumn(key_col, F.lit(0).cast("long"))
         df = df.repartitionByRange(num_partitions, *range_cols)
         df = df.sortWithinPartitions(*range_cols)
@@ -429,6 +465,8 @@ def encode_table(
     else:
         # ungrouped: deterministic pseudo-groups via row hash so chunk ids
         # are unique and independent of the partition count
+        if num_partitions is None:
+            num_partitions = 4 * cores
         df = df.withColumn(key_col, sort_key)
         df = df.withColumn(
             salt_col,

@@ -61,8 +61,10 @@ def test_q1_whole_stage_codegen(spark):
 
 def test_encode_single_shuffle(spark):
     """The DATA path must shuffle exactly once. Unsalted: 1 exchange
-    total. Salted: +1 exchange for the tiny size-histogram aggregation
-    (its output is broadcast back, never the data)."""
+    total. Salted: ALSO 1 data exchange in the encode plan — the tiny
+    size-histogram aggregation (whose output is broadcast back, never
+    the data) runs once in the bytes-based partition-sizing job and
+    enters the plan as a checkpointed ExistingRDD scan."""
     df = spark.read.parquet(f"{SF}/documents.parquet")
     p0 = (
         encode_table(df, group_cols=["lang"], salted=False)
@@ -74,8 +76,9 @@ def test_encode_single_shuffle(spark):
         encode_table(df, group_cols=["lang"])
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert p1.count("Exchange hashpartitioning") == 2, p1[:2000]
+    assert p1.count("Exchange hashpartitioning") == 1, p1[:2000]
     assert "BroadcastExchange" in p1  # salt plan joins via broadcast
+    assert "ExistingRDD" in p1  # histogram computed once, checkpointed
 
 
 def test_salted_encode_splits_mega_group(spark):
