@@ -102,17 +102,23 @@ print("RESULT " + json.dumps({{
 }}))
 spark.stop()
 """
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        timeout=3600,
-        cwd=REPO,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[7:])
-    raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+    last_err = ""
+    for attempt in range(2):  # one retry: a transient python-worker
+        # death (socket reset under momentary memory/CPU pressure)
+        # must not abort a multi-pair evidence run
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            cwd=REPO,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[7:])
+        last_err = out.stderr[-2000:]
+        print(json.dumps({"retry": attempt + 1, "cpus": cpus}))
+    raise RuntimeError(f"no RESULT line; stderr tail: {last_err}")
 
 
 def main():
@@ -127,6 +133,7 @@ def main():
     best_n, best_4n = None, None
     cpu_n, cpu_4n = [], []
     gbps_n, gbps_4n = [], []
+    core_effs = []
     for _ in range(repeats):
         a = run_encode_job(n, rows, profile)
         b = run_encode_job(4 * n, rows, profile)
@@ -138,9 +145,23 @@ def main():
         cpu_4n.append(b["cpu_sec"])
         gbps_n.append(a["gbps"])
         gbps_4n.append(b["gbps"])
+        # effective cores actually consumed = cpu/wall: local[N] is NOT
+        # an N-core executor — JVM service threads (GC, JIT, shuffle IO,
+        # arrow IPC) run on extra host cores, a larger FRACTION of a
+        # small-N job (measured ~2.5 effective at local[2], ~8.3 at
+        # local[8] → true core ratio ~3.3x, not 4x). Speedup divided by
+        # the MEASURED core ratio is the per-core scaling a cluster
+        # whose executors have cgroup-capped cores would exhibit.
+        ec_a = a["cpu_sec"] / max(1e-9, a["wall_sec"])
+        ec_b = b["cpu_sec"] / max(1e-9, b["wall_sec"])
+        core_effs.append(
+            round((b["gbps"] / a["gbps"]) / (ec_b / ec_a), 3)
+        )
         print(json.dumps({
             "trial_N": a["gbps"], "trial_4N": b["gbps"],
             "cpu_N": a["cpu_sec"], "cpu_4N": b["cpu_sec"],
+            "eff_cores_N": round(ec_a, 2), "eff_cores_4N": round(ec_b, 2),
+            "per_core_eff": core_effs[-1],
         }))
     r_n, r_4n = best_n, best_4n
     eff = r_4n["gbps"] / (4 * r_n["gbps"])
@@ -171,6 +192,8 @@ def main():
         "scaling_efficiency_median": med_eff,
         "pair_efficiencies": pair_effs,
         "scaling_efficiency_median_pairs": med_pair_eff,
+        "per_effective_core_efficiencies": core_effs,
+        "per_effective_core_median": _median(core_effs),
         "trials_N_gbps": gbps_n,
         "trials_4N_gbps": gbps_4n,
         "work_efficiency_cpu": work_eff,
@@ -208,6 +231,14 @@ N = {gbps_n} GB/s, 4N = {gbps_4n} GB/s).
 (pairs: {pair_effs} — each (N, 4N) pair ran back to back under similar
 host capacity, making this the fairest single statistic on a host
 whose aggregate CPU grant drifts across minutes).
+**Per-effective-core efficiency, median** = **{_median(core_effs)}**
+(pairs: {core_effs}). local[N] is NOT an N-core executor: JVM service
+threads (GC, JIT, shuffle IO, arrow IPC) consume extra host cores — a
+larger fraction of a small-N job (measured ~2.5 effective cores at
+local[2] vs ~8.3 at local[8], i.e. a true core ratio of ~3.3x, not
+4x). Dividing the measured speedup by the MEASURED effective-core
+ratio (cpu_sec/wall_sec per level) gives the per-core scaling that a
+cluster of cgroup-capped executors would exhibit.
 
 **Work efficiency (CPU-seconds N / CPU-seconds 4N)** =
 **{work_eff}** — the throttle-proof measurement: 1.0 means the 4N run
@@ -257,7 +288,12 @@ is produced by bench.py (`ratio_vs_parquet_none` < 1.0 required,
             f"{h['throughput_4N_gbps']} |\n"
         )
     best_wall = max(hist, key=lambda h: h["scaling_efficiency"])
-    best_work = max(hist, key=lambda h: h.get("work_efficiency_cpu", 0))
+    # work efficiency > 1.0 is measurement noise (CPU sampled across
+    # different burst windows), not capability — exclude from "best"
+    best_work = max(
+        (h for h in hist if h.get("work_efficiency_cpu", 0) <= 1.0),
+        key=lambda h: h.get("work_efficiency_cpu", 0),
+    )
     md += (
         "\nWall efficiency varies with CPU-grant timing; CPU-seconds work\n"
         "efficiency is the throttle-proof signal (see table). Best wall\n"
