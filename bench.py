@@ -110,7 +110,10 @@ def bench_encode(spark, n_rows: int, profile: str):
         F.count(F.lit(1)).alias("chunk_cols"),
     ).collect()[0]
     encode_s = time.time() - t0
-    encode_cpu = _tree_cpu_sec() - cpu0
+    # clamp: a python worker reaped between samples (idle-worker
+    # timeout) takes its accrued CPU out of the end reading, which
+    # could otherwise go negative and win the min() below
+    encode_cpu = max(0.0, _tree_cpu_sec() - cpu0)
     enc_bytes = int(agg["enc"])
 
     # decode throughput (cache preserves partitioning -> colocated decode).
@@ -124,7 +127,10 @@ def bench_encode(spark, n_rows: int, profile: str):
     enc_cached = encode_table(src, group_cols=["repo", "lang"], profile=profile).cache()
     enc_cached.count()
     encode_s = min(encode_s, time.time() - t0)
-    encode_cpu = min(encode_cpu, _tree_cpu_sec() - cpu0)
+    cpu_pass2 = max(0.0, _tree_cpu_sec() - cpu0)
+    # min over POSITIVE samples only (0.0 marks a corrupted sample)
+    cpu_samples = [c for c in (encode_cpu, cpu_pass2) if c > 0]
+    encode_cpu = min(cpu_samples) if cpu_samples else 0.0
     t0 = time.time()
     dec = decode_table(enc_cached, src.schema, assume_colocated=True)
     n_dec = dec.count()

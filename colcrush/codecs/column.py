@@ -218,7 +218,15 @@ def _string_restore(
     # large_string construction: the old binary->string cast re-scanned
     # every byte for UTF-8 validation that a roundtrip of valid strings
     # cannot fail, and offsets.tobytes()/blob.tobytes() copied the
-    # whole column once more
+    # whole column once more. from_buffers trusts its inputs, so guard
+    # the one unsafe failure mode ourselves: lengths inconsistent with
+    # the blob (truncated/corrupted payload) would otherwise build an
+    # array whose offsets read past the data buffer
+    if int(offsets[-1]) != len(blob):
+        raise ValueError(
+            f"corrupt string payload: lengths sum to {int(offsets[-1])} "
+            f"but data holds {len(blob)} bytes"
+        )
     target_is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
     arr = pa.Array.from_buffers(
         pa.large_string() if target_is_str else pa.large_binary(),

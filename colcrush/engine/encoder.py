@@ -320,9 +320,12 @@ def plan_salts(
 
     ``with_total=True`` additionally returns the table's total byte
     estimate (for bytes-based partition sizing). The histogram is then
-    localCheckpoint()ed so the total aggregate and the later broadcast
-    build share ONE input pass — the pinned copy is histogram-sized
-    (|groups| rows), not data-sized.
+    persist()ed — materialized by the total aggregate — so it and the
+    later broadcast build share ONE input pass; the pinned copy is
+    histogram-sized (|groups| rows), not data-sized. persist (not
+    localCheckpoint) keeps the lineage, so an executor lost between
+    the sizing job and the encode action recomputes the blocks instead
+    of failing on a missing non-replicated checkpoint.
     """
     str_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
     size_expr = None
@@ -332,7 +335,7 @@ def plan_salts(
         size_expr = e if size_expr is None else size_expr + e
     sizes = df.groupBy(*group_cols).agg(F.sum(size_expr).alias("_grp_bytes"))
     if with_total:
-        sizes = sizes.localCheckpoint()
+        sizes = sizes.persist()
         total = sizes.agg(F.sum("_grp_bytes")).collect()[0][0] or 0
     out = sizes.select(
         *group_cols,

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import _shingles
+from .dedup import _shingle_hashes
 
 
 def contamination_overlap(
@@ -42,28 +42,33 @@ def contamination_overlap(
     threshold's sensitivity).
     """
     ref_text_col = ref_text_col or text_col
+    # _shingle_hashes, not _shingles: shingle STRINGS are never
+    # materialized (tuple-variadic xxhash64 per window — token
+    # boundaries preserved, so hash sets biject string-shingle sets)
+    # and the token array is scope-bound so split() evaluates once per
+    # row, not once per shingle (the Catalyst transform-rebinding trap,
+    # see CLAUDE.md / dedup._shingle_hashes)
     doc_sh = corpus.select(
         F.col(id_col),
-        F.explode_outer(_shingles(text_col, n)).alias("_tok"),
-    ).select(
-        id_col,
-        # null for the explode_outer placeholder of a shingle-less doc:
-        # xxhash64(NULL) would otherwise hash the seed and count as a
-        # (joinable!) shingle
-        F.when(F.col("_tok").isNotNull(), F.xxhash64("_tok")).alias("_h"),
+        F.explode_outer(_shingle_hashes(text_col, n)).alias("_h"),
     )
     ref_sh = (
-        reference.select(F.explode(_shingles(ref_text_col, n)).alias("_tok"))
-        .select(F.xxhash64("_tok").alias("_h"))
+        reference.select(
+            F.explode(_shingle_hashes(ref_text_col, n)).alias("_h")
+        )
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     joined = doc_sh.join(ref_sh, "_h", "left")
+    # contamination is the RAW IEEE double division n_hits/n_shingles:
+    # exact integer inputs divide bit-identically in any engine, while
+    # round(double, 6) diverges between Spark (BigDecimal shortest-repr
+    # HALF_UP) and DuckDB on tie-adjacent ratios (e.g. 323/640)
     return joined.groupBy(id_col).agg(
         F.count("_h").alias("n_shingles"),
         F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"),
         F.when(
             F.count("_h") > 0,
-            F.round(F.coalesce(F.sum("_hit"), F.lit(0)) / F.count("_h"), 6),
+            F.coalesce(F.sum("_hit"), F.lit(0)) / F.count("_h"),
         ).alias("contamination"),
     )

@@ -1153,8 +1153,8 @@ SELECT c.doc_id AS doc_id,
        count(*) AS n_shingles,
        CAST(sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_hits,
-       round(CAST(sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END)
-             AS DOUBLE) / count(*), 6) AS contamination
+       CAST(sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS contamination
 FROM corp c LEFT JOIN ref r ON c.tok = r.tok
 GROUP BY c.doc_id
 """,

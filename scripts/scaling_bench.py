@@ -289,10 +289,12 @@ is produced by bench.py (`ratio_vs_parquet_none` < 1.0 required,
         )
     best_wall = max(hist, key=lambda h: h["scaling_efficiency"])
     # work efficiency > 1.0 is measurement noise (CPU sampled across
-    # different burst windows), not capability — exclude from "best"
+    # different burst windows), not capability — exclude from "best";
+    # fall back to the current run if every entry is noise
     best_work = max(
-        (h for h in hist if h.get("work_efficiency_cpu", 0) <= 1.0),
-        key=lambda h: h.get("work_efficiency_cpu", 0),
+        (h for h in hist if 0 < h.get("work_efficiency_cpu", 0) <= 1.0),
+        key=lambda h: h["work_efficiency_cpu"],
+        default=result,
     )
     md += (
         "\nWall efficiency varies with CPU-grant timing; CPU-seconds work\n"
@@ -303,10 +305,9 @@ is produced by bench.py (`ratio_vs_parquet_none` < 1.0 required,
         f"{best_wall['scaling_efficiency']}** "
         f"(N {best_wall['throughput_N_gbps']} GB/s, 4N "
         f"{best_wall['throughput_4N_gbps']} GB/s); **best work efficiency "
-        f"{best_work.get('work_efficiency_cpu')} ({best_work['ts']})** — "
-        "within that run the cleanest interleaved pair measured "
-        "cpu_4N == cpu_N (zero parallel overhead), see the attribution\n"
-        "section above.\n"
+        f"{best_work.get('work_efficiency_cpu')} ({best_work['ts']})**. "
+        "See the attribution section above for the zero-overhead "
+        "evidence.\n"
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

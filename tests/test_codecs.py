@@ -500,3 +500,19 @@ def test_native_so_dir_enforces_private_permissions(monkeypatch, tmp_path):
     shutil.rmtree(pre)
     d2 = native_mod._so_dir()
     assert (os.stat(d2).st_mode & 0o077) == 0
+
+
+def test_string_restore_rejects_inconsistent_lengths():
+    """Zero-copy string decode must not build an arrow array whose
+    offsets point past the data buffer (corrupted/truncated payload):
+    it raises instead of reading out of bounds."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from colcrush.codecs.column import _string_restore
+
+    with pytest.raises(ValueError, match="corrupt string payload"):
+        _string_restore(
+            np.array([5], dtype=np.int64), b"abc", pa.string(), None
+        )
