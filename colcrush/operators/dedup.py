@@ -48,15 +48,24 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingles(text_col: str, n: int) -> F.Column:
-    """Word n-gram shingles as an array column (JVM-side, no UDF)."""
+    """Word n-gram shingles as an array column (JVM-side, no UDF).
+    The token array is scope-bound via the 1-element-array transform so
+    Catalyst evaluates split() once per row, not once per shingle (the
+    O(words^2) rebinding trap — see _shingle_hashes / CLAUDE.md)."""
     toks = F.split(F.col(text_col), " ")
     if n == 1:
         return F.array_distinct(toks)
-    # sliding window via sequence + slice
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    )
+
+    def mk(ts: F.Column) -> F.Column:
+        # sliding window via sequence + slice
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(ts, i + 1, n), " ")
+            )
+        )
+
+    return F.element_at(F.transform(F.array(toks), mk), 1)
 
 
 def _shingle_hashes(text_col: str, n: int) -> F.Column:
