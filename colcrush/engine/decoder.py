@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..codecs import decode_array
+from ..codecs.dec_rescale import rescale_decimal128
 
 
 def _spark_field_for(arrow_type: pa.DataType) -> T.DataType:
@@ -72,40 +73,13 @@ def _rescale_decimal(arr: pa.Array, precision: int, scale: int) -> pa.Array:
     divergence, pinned by test: a result whose integer digits then
     exceed precision-scale (Java's BigDecimal carries it silently; a
     typed arrow/Spark decimal column cannot) raises ValueError instead
-    of silently violating the declared type."""
-    import decimal as dec
+    of silently violating the declared type.
 
-    t = arr.type
-    if t.precision == precision and t.scale == scale:
-        return arr
-    if precision >= t.precision and scale >= t.scale:
-        # no rounding can occur: a DECIMAL(p,s) value has <= p
-        # significant digits (so the MathContext step is identity) and
-        # widening the scale is an exact 10^k unscaled multiply —
-        # vectorized arrow cast instead of per-value Python in the
-        # decode hot path; overflow still surfaces as ValueError
-        try:
-            return pc.cast(arr, pa.decimal128(precision, scale))
-        except (pa.ArrowInvalid, OverflowError) as e:
-            raise ValueError(
-                f"rescale to DECIMAL({precision},{scale}) overflows: {e}"
-            ) from e
-    ctx = dec.Context(prec=precision, rounding=dec.ROUND_HALF_UP)
-    wide = dec.Context(prec=60, rounding=dec.ROUND_HALF_UP)
-    exp = dec.Decimal(1).scaleb(-scale)
-    out = []
-    for v in arr.to_pylist():
-        if v is None:
-            out.append(None)
-            continue
-        d = ctx.create_decimal(v)
-        out.append(d.quantize(exp, context=wide))
-    try:
-        return pa.array(out, type=pa.decimal128(precision, scale))
-    except (pa.ArrowInvalid, OverflowError) as e:
-        raise ValueError(
-            f"rescale to DECIMAL({precision},{scale}) overflows: {e}"
-        ) from e
+    Fully vectorized (uint64 limb arithmetic on the unscaled int128
+    words — see codecs/dec_rescale.py); hypothesis-pinned equal to the
+    scalar decimal.Decimal reference in tests/test_codecs_property.py.
+    """
+    return rescale_decimal128(arr, precision, scale)
 
 
 def decode_table(

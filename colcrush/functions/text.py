@@ -2,8 +2,9 @@
 language-ID heuristic, quality scoring, token counting, fingerprinting.
 
 All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
-whole-stage codegen); only the winnowing fingerprint uses a vectorized
-pandas UDF (rolling hash over byte arrays in numpy).
+whole-stage codegen) — including the winnowing fingerprint, which is
+pure Catalyst array expressions (transform/filter over shingle hashes;
+no Python UDF anywhere in this module).
 """
 
 from __future__ import annotations

@@ -181,3 +181,89 @@ def test_struct_roundtrip_any(values):
     blob, meta = encode_array(arr)
     assert decode_array(blob).equals(arr)
     assert meta["codec"] == "struct"
+
+
+# --- vectorized rescale vs scalar decimal.Decimal reference ---------------
+
+
+def _rescale_scalar_ref(arr: pa.Array, precision: int, scale: int):
+    """The pre-round-4 scalar implementation of parquet4s
+    rescale-on-read (MathContext(precision) HALF_UP then
+    setScale(scale) HALF_UP), kept here as the hypothesis oracle for
+    the vectorized limb-arithmetic version in codecs/dec_rescale.py."""
+    import decimal as dec
+
+    t = arr.type
+    if t.precision == precision and t.scale == scale:
+        return arr
+    if precision >= t.precision and scale >= t.scale:
+        import pyarrow.compute as pc
+
+        try:
+            return pc.cast(arr, pa.decimal128(precision, scale))
+        except (pa.ArrowInvalid, OverflowError) as e:
+            raise ValueError("overflow") from e
+    ctx = dec.Context(prec=precision, rounding=dec.ROUND_HALF_UP)
+    wide = dec.Context(prec=60, rounding=dec.ROUND_HALF_UP)
+    exp = dec.Decimal(1).scaleb(-scale)
+    out = []
+    for v in arr.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        d = ctx.create_decimal(v)
+        out.append(d.quantize(exp, context=wide))
+    try:
+        return pa.array(out, type=pa.decimal128(precision, scale))
+    except (pa.ArrowInvalid, OverflowError) as e:
+        raise ValueError("overflow") from e
+
+
+_dec_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.decimals(
+            min_value=-(10**19), max_value=10**19, places=18,
+            allow_nan=False, allow_infinity=False,
+        ),
+        st.decimals(
+            min_value=-(10**9), max_value=10**9, places=2,
+            allow_nan=False, allow_infinity=False,
+        ),
+        # tie-heavy values that stress the HALF_UP boundary
+        st.integers(min_value=-(10**6), max_value=10**6).map(
+            lambda n: __import__("decimal").Decimal(n * 5).scaleb(-3)
+        ),
+    ),
+    max_size=120,
+)
+
+_dec_targets = st.sampled_from(
+    [(38, 18), (20, 2), (12, 4), (10, 0), (5, 2), (38, 2), (18, 17), (3, 1)]
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(values=_dec_strategy, target=_dec_targets, offset=st.integers(0, 3))
+def test_rescale_vectorized_matches_scalar_reference(values, target, offset):
+    from colcrush.codecs.dec_rescale import rescale_decimal128
+
+    precision, scale = target
+    arr = pa.array(values, type=pa.decimal128(38, 18))
+    # exercise non-zero arr.offset (sliced buffers) too
+    if offset and len(arr) > offset:
+        arr = arr.slice(offset)
+    try:
+        expected = _rescale_scalar_ref(arr, precision, scale)
+        expected_err = None
+    except ValueError:
+        expected, expected_err = None, ValueError
+    if expected_err is ValueError:
+        import pytest
+
+        with pytest.raises(ValueError):
+            rescale_decimal128(arr, precision, scale)
+    else:
+        got = rescale_decimal128(arr, precision, scale)
+        assert got.type == expected.type
+        assert got.to_pylist() == expected.to_pylist()
