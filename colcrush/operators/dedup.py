@@ -454,32 +454,33 @@ def dup_clusters(
     exact) into canonical-document clusters — A~B and B~C must collapse
     to one keeper even when A~C was never emitted as a pair.
 
-    Distributed min-label propagation: each round every node takes the
-    min label among itself and its neighbors (one join + one groupBy
-    per round, all Catalyst-planned), converging in O(component
-    diameter) rounds. Near-dup components are shallow in practice
-    (stars around a popular document; short chains of borderline
-    pairs), so the loop exits after 2-4 rounds; ``max_iterations``
-    bounds pathological chains. Each round is localCheckpoint()ed to
-    truncate the growing lineage (the standard iterative-algorithm
-    pattern — without it Catalyst re-plans the whole history each
-    round), and the per-round convergence check is a scalar count, not
-    a collect of data. At extreme diameters the alternating
-    large-star/small-star contraction (O(log n) rounds) is the drop-in
-    upgrade; the emitted schema is identical.
+    Alternating large-star/small-star contraction (Kiveris, Lattanzi,
+    Mirrokni, Rastogi & Vassilvitskii, "Connected Components in
+    MapReduce and Beyond", ACM SoCC'14 — public paper): each round
+    rewires every node's strictly-larger neighbors (large-star), then
+    its smaller neighbors (small-star), to the neighborhood minimum.
+    Both steps preserve connectivity and converge to disjoint stars
+    centered at each component's minimum in **O(log n) rounds even for
+    path graphs** — unlike min-label propagation, whose O(diameter)
+    rounds stall on one adversarial long chain at 100 TB. A 1000-node
+    chain converges in <= 12 rounds (pinned by test); near-dup
+    components (stars, short chains) still exit in 2-4.
+
+    Each round's edge set is localCheckpoint()ed to truncate the
+    growing lineage, the previous round's blocks are explicitly
+    unpersisted once the convergence check no longer needs them (at
+    most two edge copies in executor storage), and the convergence
+    check (edge-set fixpoint: equal counts + empty set-difference) is
+    scalar actions, never a collect of data.
 
     Returns one row per node that appears in ``pairs``; singleton
     documents (no dup edges) are implicitly their own cluster. Ids keep
     their input type (string/UUID ids cluster as well as ints — an
     earlier cast-to-long silently nulled them out); ``cluster`` is the
     component's min id under the type's natural ordering. Raises
-    RuntimeError if a component's diameter exceeds ``max_iterations``
-    (a silently split clustering would keep extra duplicate keepers).
-
-    Executor-storage hygiene: each round's localCheckpoint pins a copy
-    of the label table; the previous round's blocks are explicitly
-    unpersisted once the convergence check no longer needs them, so
-    storage holds at most two label copies regardless of round count.
+    RuntimeError if the fixpoint is not reached within
+    ``max_iterations`` (a partial contraction would silently split
+    clusters and keep extra duplicate keepers).
     """
     sc = pairs.sparkSession.sparkContext
 
@@ -501,42 +502,72 @@ def dup_clusters(
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(
         F.col(id_a).isNotNull() & F.col(id_b).isNotNull()
     )
+    # canonical orientation: every undirected edge stored once as
+    # (a, b) with a > b under the id type's natural ordering
     edges, edge_ids = _checkpoint(
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .where(F.col("a") != F.col("b"))
+        e.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
         .distinct()
-    )
-    labels, label_ids = _checkpoint(
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
     )
     converged = False
     for _ in range(max_iterations):
-        msgs = edges.join(
-            labels, edges["a"] == labels["node"]
-        ).select(F.col("b").alias("node"), F.col("label"))
-        new_labels, new_ids = _checkpoint(
-            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        # large-star: over the bidirectional view, attach each node's
+        # STRICTLY LARGER neighbors to min(neighborhood ∪ self).
+        # Emitted pairs (v, m) with v > a >= m stay canonical.
+        bi = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+        mins = bi.groupBy("a").agg(F.min("b").alias("mn"))
+        large = (
+            bi.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(
+                F.col("b").alias("a"),
+                F.least(F.col("a"), F.col("mn")).alias("b"),
+            )
+            .distinct()
         )
-        _release(label_ids)  # convergence check done — drop the old copy
-        labels, label_ids = new_labels, new_ids
-        if changed == 0:
+        # small-star: on the canonical (a > b) orientation each node's
+        # smaller neighbors (and the node itself) attach to the
+        # neighborhood minimum mn (< a, so emitted pairs are canonical)
+        mins2 = large.groupBy("a").agg(F.min("b").alias("mn"))
+        new_edges, new_ids = _checkpoint(
+            large.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .union(mins2.select(F.col("a"), F.col("mn").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # fixpoint test on the canonical edge SET: same cardinality and
+        # empty one-sided difference (both scalar actions)
+        same = new_edges.count() == edges.count() and (
+            new_edges.exceptAll(edges).count() == 0
+        )
+        _release(edge_ids)  # convergence check done — drop the old copy
+        edges, edge_ids = new_edges, new_ids
+        if same:
             converged = True
             break
-    _release(edge_ids)  # the returned labels are materialized
     if not converged:
+        _release(edge_ids)
         raise RuntimeError(
             f"dup_clusters did not converge within {max_iterations} rounds "
-            "— a component's diameter exceeds the bound, and returning the "
-            "partial labels would silently split it into several clusters. "
-            "Raise max_iterations (propagation needs one round per hop of "
-            "the longest chain)."
+            "— returning the partial contraction would silently split "
+            "components into several clusters. large-star/small-star needs "
+            "O(log n) rounds, so raise max_iterations only for truly "
+            "enormous components."
         )
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+    # at the fixpoint the graph is a union of stars (leaf, center) with
+    # center = component min; centers label themselves
+    labels = (
+        edges.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster"))
+        .union(
+            edges.select(F.col("b").alias("doc_id"), F.col("b").alias("cluster"))
+        )
+        .distinct()
+    )
+    out, _ = _checkpoint(labels)
+    _release(edge_ids)  # the returned labels are materialized
+    return out

@@ -532,7 +532,8 @@ def test_contamination_overlap_planted(spark):
 
 def test_dup_clusters_matches_union_find_on_random_graphs(spark):
     """Randomized cross-check: on seeded random graphs the distributed
-    min-label propagation must equal a local union-find reference
+    large-star/small-star contraction must equal a local union-find
+    reference
     (min-id canonical labels), across densities from forest-sparse to
     near-complete."""
     import numpy as np
@@ -569,3 +570,22 @@ def test_dup_clusters_matches_union_find_on_random_graphs(spark):
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
         assert got == expected, f"seed {seed}: {got} != {expected}"
+
+
+def test_dup_clusters_long_chain_converges_logarithmically(spark):
+    """A 1000-node path graph is the adversarial case for min-label
+    propagation (999 rounds — one hop per round). large-star/small-star
+    contraction must collapse it to a single min-centered star within
+    O(log n) rounds: max_iterations=12 would be a hard failure under
+    propagation and is comfortable for the contraction."""
+    from colcrush.operators.dedup import dup_clusters
+
+    n = 1000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    ).repartition(8)
+    got = dup_clusters(chain, max_iterations=12)
+    rows = got.collect()
+    assert len(rows) == n
+    assert {r["doc_id"] for r in rows} == set(range(n))
+    assert all(r["cluster"] == 0 for r in rows)
