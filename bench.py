@@ -100,41 +100,56 @@ def bench_encode(spark, n_rows: int, profile: str):
         )
     ).collect()[0][0]
 
-    cpu0 = _tree_cpu_sec()
-    t0 = time.time()
-    enc = encode_table(
-        src, group_cols=["repo", "lang"], profile=profile
-    )
-    agg = enc.agg(
-        F.sum("enc_bytes").alias("enc"),
-        F.count(F.lit(1)).alias("chunk_cols"),
-    ).collect()[0]
-    encode_s = time.time() - t0
-    # clamp: a python worker reaped between samples (idle-worker
-    # timeout) takes its accrued CPU out of the end reading, which
-    # could otherwise go negative and win the min() below
-    encode_cpu = max(0.0, _tree_cpu_sec() - cpu0)
-    enc_bytes = int(agg["enc"])
+    # Encode timing: THREE samples (two pure passes + the cached pass
+    # below), report the fastest wall and CPU. This host's hypervisor
+    # grants bursty CPU (CLAUDE.md: effective capacity swings ~1-8
+    # cores AND clock across minutes, inflating both wall AND
+    # CPU-seconds in throttled windows), so a single sample is ±50%
+    # noise; min-of-3 approximates the unthrottled cost. The clamp to
+    # >0 guards a python worker reaped between readings (its accrued
+    # CPU would leave the end reading lower than the start).
+    encode_s = float("inf")
+    cpu_samples = []
+    enc_bytes = 0
+    for _ in range(2):
+        cpu0 = _tree_cpu_sec()
+        t0 = time.time()
+        enc = encode_table(src, group_cols=["repo", "lang"], profile=profile)
+        agg = enc.agg(
+            F.sum("enc_bytes").alias("enc"),
+            F.count(F.lit(1)).alias("chunk_cols"),
+        ).collect()[0]
+        encode_s = min(encode_s, time.time() - t0)
+        cpu_samples.append(max(0.0, _tree_cpu_sec() - cpu0))
+        enc_bytes = int(agg["enc"])
 
-    # decode throughput (cache preserves partitioning -> colocated decode).
-    # The bench necessarily encodes twice (timing pass + cached pass for
-    # decode) — time BOTH and report the faster: this host's hypervisor
-    # grants bursty CPU, and the second sample costs nothing extra. The
-    # cached pass also pays the cache write, so its time upper-bounds a
-    # pure encode (conservative).
+    # decode throughput (cache preserves partitioning -> colocated
+    # decode); the cached pass also pays the cache write, so its time
+    # upper-bounds a pure encode (conservative third sample)
     cpu0 = _tree_cpu_sec()
     t0 = time.time()
     enc_cached = encode_table(src, group_cols=["repo", "lang"], profile=profile).cache()
     enc_cached.count()
     encode_s = min(encode_s, time.time() - t0)
-    cpu_pass2 = max(0.0, _tree_cpu_sec() - cpu0)
+    cpu_samples.append(max(0.0, _tree_cpu_sec() - cpu0))
     # min over POSITIVE samples only (0.0 marks a corrupted sample)
-    cpu_samples = [c for c in (encode_cpu, cpu_pass2) if c > 0]
+    cpu_samples = [c for c in cpu_samples if c > 0]
     encode_cpu = min(cpu_samples) if cpu_samples else 0.0
+    cpu0 = _tree_cpu_sec()
     t0 = time.time()
     dec = decode_table(enc_cached, src.schema, assume_colocated=True)
     n_dec = dec.count()
     decode_s = time.time() - t0
+    decode_cpu = max(0.0, _tree_cpu_sec() - cpu0)
+    # projected decode (2 of 5 columns): payload pruning happens BEFORE
+    # any movement/decode — at 100 TB reads dominate writes, and most
+    # reads are narrow projections, so this is a headline number
+    t0 = time.time()
+    proj = decode_table(
+        enc_cached, src.schema, columns=["path", "lang"], assume_colocated=True
+    )
+    n_proj = proj.count()
+    projected_s = time.time() - t0
     # codec mix chosen by the auto-selector (observability, from cache)
     from colcrush.engine.report import codec_summary
 
@@ -166,6 +181,7 @@ def bench_encode(spark, n_rows: int, profile: str):
 
     src.unpersist()
     assert n_dec == n_rows
+    assert n_proj == n_rows
     return {
         "codec_mix": mix,
         "encode_rows": n_rows,
@@ -176,8 +192,15 @@ def bench_encode(spark, n_rows: int, profile: str):
         "parquet_snappy_bytes": int(pq_bytes),
         "encode_sec": round(encode_s, 3),
         "decode_sec": round(decode_s, 3),
+        "projected_decode_sec": round(projected_s, 3),
+        "projected_decode_speedup": round(decode_s / max(0.001, projected_s), 2),
         "encode_gbps_content": round(content_bytes / encode_s / 1e9, 4),
         "encode_gbps_raw": round(total_raw / encode_s / 1e9, 4),
+        "decode_gbps_raw": round(total_raw / decode_s / 1e9, 4),
+        "decode_cpu_sec": round(decode_cpu, 2),
+        "decode_mbps_raw_per_cpu": round(
+            total_raw / max(0.001, decode_cpu) / 1e6, 1
+        ),
         # throttle-proof companions: this host's hypervisor grants
         # ~1-8 effective cores in windows of minutes, so identical
         # binaries draw 3x different wall numbers run to run. CPU

