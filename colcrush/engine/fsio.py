@@ -9,9 +9,12 @@ through the JVM's Hadoop FileSystem whenever the path carries a scheme
 (parquet4s's Path is a Hadoop path end to end — IOOps.scala works
 against any FileSystem, incl. the s3Test integration suite
 /root/reference/s3Test/src/it/.../S3ItSpec.scala), while bare local
-paths keep the cheap ``os`` fast path. In this sandbox only ``file:``
-is exercisable (tests/test_remote_fs_paths.py) — the Hadoop FS API
-surface used here is identical for remote schemes.
+paths keep the cheap ``os`` fast path. Two schemes are exercised in
+tests/test_remote_fs_paths.py: ``file://`` and ``viewfs://`` (Hadoop's
+client-side mount-table FileSystem — distinct authority handling,
+mount resolution and a checksummed delegate path); s3a jars are not in
+this sandbox, but the Hadoop FS API surface used here is identical for
+object-store schemes.
 """
 
 from __future__ import annotations
