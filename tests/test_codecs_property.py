@@ -239,7 +239,10 @@ _dec_strategy = st.lists(
 )
 
 _dec_targets = st.sampled_from(
-    [(38, 18), (20, 2), (12, 4), (10, 0), (5, 2), (38, 2), (18, 17), (3, 1)]
+    # includes precision-narrow + scale-WIDEN (10, 20): shift1 from the
+    # digit count, then a multiply step — the mixed path
+    [(38, 18), (20, 2), (12, 4), (10, 0), (5, 2), (38, 2), (18, 17),
+     (3, 1), (10, 20)]
 )
 
 
