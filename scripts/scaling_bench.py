@@ -23,8 +23,22 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+PIN = os.environ.get("COLCRUSH_SCALING_PIN", "0") == "1"
+
+
 def run_encode_job(cpus: int, rows: int, profile: str) -> dict:
-    """One encode measurement in a fresh JVM."""
+    """One encode measurement in a fresh JVM.
+
+    COLCRUSH_SCALING_PIN=1 pins the whole process tree to exactly
+    ``cpus`` host CPUs (taskset -c 0..cpus-1). local[N] without pinning
+    is NOT an N-core executor — JVM service threads spill onto extra
+    host cores, a larger fraction at small N (measured ~2.7 effective
+    cores at local[2] vs ~9.3 at local[8], true ratio ~3.5x, not 4x),
+    which structurally caps wall efficiency vs the NOMINAL 4x at ~0.87
+    even for a perfectly scaling job. Pinning reproduces what a real
+    cluster gives an executor (a cgroup cpu set), so the pinned wall
+    ratio is the faithful two-cluster-size measurement, not a derived
+    normalization."""
     code = f"""
 import json, os, time, sys
 sys.path.insert(0, {REPO!r})
@@ -106,8 +120,11 @@ spark.stop()
     for attempt in range(2):  # one retry: a transient python-worker
         # death (socket reset under momentary memory/CPU pressure)
         # must not abort a multi-pair evidence run
+        cmd = [sys.executable, "-c", code]
+        if PIN:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, "-c", code],
+            cmd,
             capture_output=True,
             text=True,
             timeout=3600,
@@ -190,6 +207,7 @@ def main():
         "N": n,
         "rows": rows,
         "profile": profile,
+        "pinned": PIN,
         "throughput_N_gbps": r_n["gbps"],
         "throughput_4N_gbps": r_4n["gbps"],
         "scaling_efficiency": round(eff, 3),
@@ -259,6 +277,16 @@ executors), {repeats} interleaved (N, 4N) pairs (this sandbox's
 hypervisor grants bursty CPU — measured aggregate capacity fluctuates
 between ~1 and ~8 cores over minutes — so the MEDIAN OF PAIRS is the
 declared statistic; per-trial numbers below for auditability).
+CPU affinity: {"PINNED — each level taskset-bound to exactly its core"
+    " count, reproducing a cluster executor's cgroup cpu set (local[N]"
+    " unpinned is NOT an N-core executor: JVM service threads spill"
+    " onto extra host cores, ~3.5x true ratio instead of 4x)"
+    if PIN else
+    "unpinned (local[N] JVM service threads spill onto extra host"
+    " cores — measured ~2.7 effective cores at N=2 vs ~9.3 at N=8, so"
+    " the NOMINAL-4x wall ratio is structurally capped near ~0.87 even"
+    " for a perfect job; see the pinned run for the cgroup-faithful"
+    " measurement)"}.
 
 {gate_md}
 
@@ -311,11 +339,13 @@ is produced by bench.py (`ratio_vs_parquet_none` < 1.0 required,
         hist = [json.loads(line) for line in f if line.strip()]
     md += (
         "\n## Run history (same harness, different hypervisor-burst windows)\n\n"
-        "| ts | wall eff (best-of) | work eff (CPU s) | N GB/s | 4N GB/s |\n|---|---|---|---|---|\n"
+        "| ts | pin | median-of-pairs | wall eff (best-of) | work eff (CPU s) | N GB/s | 4N GB/s |\n|---|---|---|---|---|---|---|\n"
     )
     for h in hist[-10:]:
         md += (
-            f"| {h['ts']} | {h['scaling_efficiency']} | "
+            f"| {h['ts']} | {'pin' if h.get('pinned') else '-'} | "
+            f"{h.get('scaling_efficiency_median_pairs', '-')} | "
+            f"{h['scaling_efficiency']} | "
             f"{h.get('work_efficiency_cpu', '-')} | {h['throughput_N_gbps']} | "
             f"{h['throughput_4N_gbps']} |\n"
         )
