@@ -135,21 +135,31 @@ def bench_encode(spark, n_rows: int, profile: str):
     # min over POSITIVE samples only (0.0 marks a corrupted sample)
     cpu_samples = [c for c in cpu_samples if c > 0]
     encode_cpu = min(cpu_samples) if cpu_samples else 0.0
-    cpu0 = _tree_cpu_sec()
-    t0 = time.time()
-    dec = decode_table(enc_cached, src.schema, assume_colocated=True)
-    n_dec = dec.count()
-    decode_s = time.time() - t0
-    decode_cpu = max(0.0, _tree_cpu_sec() - cpu0)
+    # decode: min-of-2 samples, same bursty-host rationale as encode
+    # (single wall samples are not comparable across burst windows)
+    decode_s = float("inf")
+    decode_cpu_samples = []
+    for _ in range(2):
+        cpu0 = _tree_cpu_sec()
+        t0 = time.time()
+        dec = decode_table(enc_cached, src.schema, assume_colocated=True)
+        n_dec = dec.count()
+        decode_s = min(decode_s, time.time() - t0)
+        decode_cpu_samples.append(max(0.0, _tree_cpu_sec() - cpu0))
+    decode_cpu_samples = [c for c in decode_cpu_samples if c > 0]
+    decode_cpu = min(decode_cpu_samples) if decode_cpu_samples else 0.0
     # projected decode (2 of 5 columns): payload pruning happens BEFORE
     # any movement/decode — at 100 TB reads dominate writes, and most
     # reads are narrow projections, so this is a headline number
-    t0 = time.time()
-    proj = decode_table(
-        enc_cached, src.schema, columns=["path", "lang"], assume_colocated=True
-    )
-    n_proj = proj.count()
-    projected_s = time.time() - t0
+    projected_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        proj = decode_table(
+            enc_cached, src.schema, columns=["path", "lang"],
+            assume_colocated=True,
+        )
+        n_proj = proj.count()
+        projected_s = min(projected_s, time.time() - t0)
     # codec mix chosen by the auto-selector (observability, from cache)
     from colcrush.engine.report import codec_summary
 

@@ -75,15 +75,19 @@ long colcrush_compress_greedy(const unsigned char *in, long n,
     return o;
 }
 
-/* Batched BPE training. Per round: ONE full pair recount, then select
-   up to bs mutually ALPHABET-DISJOINT top pairs (count desc, pair
-   value asc on ties, thresholds as before) and replace them all in a
-   single L2R pass via a 65536-entry pair->code map. bs escalates
-   1,2,4,... up to batch_max so the earliest (most valuable) merges
-   still chain depth-first — long repeated runs keep collapsing
-   exponentially — while total rounds drop from max_symbols to
-   ~log2(batch_max) + max_symbols/batch_max (measured ~6x less sample
-   scanning on source text).
+/* Batched BPE training. Pair counts are built ONCE before the loop
+   and maintained INCREMENTALLY by every replace pass (the junction-
+   flip deltas below — provably equal to recounting the new buffer, as
+   the recount-based numpy fallback pins). Per round: select up to bs
+   mutually ALPHABET-DISJOINT top pairs from the maintained counts
+   (count desc, pair value asc on ties, thresholds as before) and
+   replace them all in a single L2R pass via a 65536-entry pair->code
+   map. bs escalates 1,2,4,... up to batch_max so the earliest (most
+   valuable) merges still chain depth-first — long repeated runs keep
+   collapsing exponentially — while total rounds drop from max_symbols
+   to ~log2(batch_max) + max_symbols/batch_max (measured ~6x less
+   sample scanning on source text). batch_max is clamped to 64 (the
+   set_pairs capacity) — keep fsst._TRAIN_BATCH_MAX within that.
 
    Correctness of the batch: for pairs with pairwise-disjoint byte
    sets, no position can belong to occurrences of two selected pairs
@@ -113,6 +117,8 @@ long colcrush_train(unsigned char *buf, long *pn, const unsigned char *free_code
     short map[65536];
     unsigned char active[256]; /* fast path: is byte the FIRST of a selected pair */
     long set_pairs[64];
+    if (batch_max > 64) /* hard bound: set_pairs capacity */
+        batch_max = 64;
     long cand[65536]; /* 512 KiB stack — well under worker stack caps */
     memset(counts, 0, 65536 * sizeof(int));
     for (long i = 0; i + 1 < n; i++)

@@ -47,7 +47,11 @@ _native = _load_native()
 __all__ = ["train", "compress", "decompress"]
 
 # max pairs merged per training round (escalating 1,2,4,... up to this;
-# see train_with_residual) — bounds rounds at ~log2(batch)+syms/batch
+# see train_with_residual) — bounds rounds at ~log2(batch)+syms/batch.
+# Values above 64 are clamped at use: the C kernel's per-round
+# set_pairs buffer holds 64 entries and clamps batch_max to that, and
+# the fallback mirrors the clamp so both paths stay byte-identical at
+# any configured value.
 _TRAIN_BATCH_MAX = 32
 
 
@@ -121,13 +125,14 @@ def train_with_residual(
     table: list[tuple[int, int, int]] = []
     cur = sample
     rnd = 0
+    batch_max = min(_TRAIN_BATCH_MAX, 64)  # C set_pairs capacity clamp
     while len(table) < max_symbols and len(table) < len(free) and len(cur) >= 2:
         arr = np.frombuffer(cur, dtype=np.uint8)
         pairs = arr[:-1].astype(np.uint32) * np.uint32(256) + arr[1:]
         pc = np.bincount(pairs, minlength=65536)
         bs = min(
-            1 << rnd if rnd < 16 else _TRAIN_BATCH_MAX,
-            _TRAIN_BATCH_MAX,
+            1 << rnd if rnd < 16 else batch_max,
+            batch_max,
             max_symbols - len(table),
             len(free) - len(table),
         )

@@ -511,6 +511,7 @@ def dup_clusters(
         )
         .distinct()
     )
+    edge_count = edges.count()
     converged = False
     for _ in range(max_iterations):
         # large-star: over the bidirectional view, attach each node's
@@ -540,13 +541,15 @@ def dup_clusters(
             .where(F.col("a") != F.col("b"))
             .distinct()
         )
-        # fixpoint test on the canonical edge SET: same cardinality and
-        # empty one-sided difference (both scalar actions)
-        same = new_edges.count() == edges.count() and (
+        # fixpoint test on the canonical edge SET: same cardinality
+        # (previous round's count is reused, not recomputed) and empty
+        # one-sided difference (both scalar actions)
+        new_count = new_edges.count()
+        same = new_count == edge_count and (
             new_edges.exceptAll(edges).count() == 0
         )
         _release(edge_ids)  # convergence check done — drop the old copy
-        edges, edge_ids = new_edges, new_ids
+        edges, edge_ids, edge_count = new_edges, new_ids, new_count
         if same:
             converged = True
             break

@@ -92,8 +92,9 @@ def _warm(it):
 spark.range(0, {cpus} * 4, 1, {cpus} * 4).mapInArrow(_warm, "n long").count()
 # FULL-SIZE untimed warm-up: whole-stage-codegen JIT, shuffle buffers,
 # arrow IPC paths — all the once-per-JVM costs a steady-state cluster
-# job amortizes. Then best-of-3 timed runs (the hypervisor's bursty CPU
-# grants make single timings a lottery).
+# job amortizes. Then best-of-2 timed runs (at the ~3 GB default each
+# run already spans multiple hypervisor burst windows; the outer
+# interleaved pairs carry the statistics).
 encode_table(src, group_cols=["repo", "lang"], profile={profile!r}).agg(
     F.sum("enc_bytes")).collect()
 best_wall, best_cpu, total = None, None, 0
@@ -227,6 +228,22 @@ def main():
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(result))
+    # best historical work efficiency (computed, not hardcoded): the
+    # waiver cites it as auditable evidence, so it must come from
+    # BENCH/history.jsonl — values > 1.0 are cross-window sampling
+    # noise and excluded, exactly as in the "best work" footer below
+    hist_best_work = work_eff
+    hist_file = os.path.join(REPO, "BENCH", "history.jsonl")
+    if os.path.exists(hist_file):
+        with open(hist_file) as f:
+            prior = [json.loads(line) for line in f if line.strip()]
+        cands = [
+            h["work_efficiency_cpu"]
+            for h in prior
+            if 0 < h.get("work_efficiency_cpu", 0) <= 1.0
+        ] + [work_eff if 0 < work_eff <= 1.0 else 0]
+        hist_best_work = round(max(cands), 3)
+
     gate_met = med_pair_eff >= 0.8
     if gate_met:
         gate_md = f"""## GATE (north_rule: scaling efficiency >= 0.8): **MET**
@@ -248,13 +265,14 @@ plainly rather than substituting a best-of number.
 Waiver grounds (auditable, all measured on this run or reproducible
 via the named scripts):
 1. **Work efficiency (CPU-seconds N / CPU-seconds 4N) = {work_eff}
-   this run; historical best 0.998** (BENCH/history.jsonl) — in clean
+   this run; historical best {hist_best_work}** (BENCH/history.jsonl) — in clean
    host windows the 4N run consumes the same total CPU as N, i.e. the
    job itself has no contention/synchronization overhead; readings
    below 1.0 track the host's burst windows, not the plan.
 2. **The shortfall reproduces WITHOUT Spark**: the control
-   (scripts/contention_probe.py) runs the identical FSST kernel as
-   independent processes (no shared state, no synchronization) and
+   (scripts/contention_probe.py, measured 2026-08-16 on this host)
+   runs the identical FSST kernel as independent processes (no shared
+   state, no synchronization) and
    shows the same per-copy CPU inflation (x1.01-x1.17 by window) —
    pure hypervisor/memory-hierarchy sharing on ONE box. On a real
    cluster, 4N executors bring 4x nodes and 4x memory channels; this
