@@ -86,7 +86,7 @@ def _tree_cpu_sec() -> float:
     return total
 
 
-def bench_encode(spark, n_rows: int, profile: str):
+def bench_encode(spark, n_rows: int, profile: str, parquet_oracle: bool = True):
     """Encode throughput + ratio on the deterministic source-code table."""
     src = source_code_df(spark, n_rows, n_repos=50).cache()
     content_bytes = src.agg(F.sum(F.octet_length("content"))).collect()[0][0]
@@ -174,24 +174,41 @@ def bench_encode(spark, n_rows: int, profile: str):
     # UNCOMPRESSED (/root/reference/core/src/main/scala/com/github/
     # mjakubowski84/parquet4s/ParquetWriter.scala:79-84); snappy is
     # reported as a stretch reference.
-    tmp = tempfile.mkdtemp(prefix="colcrush_bench_")
-    pq_sizes = {}
-    try:
-        for codec in ("uncompressed", "snappy"):
-            pq_dir = os.path.join(tmp, f"pq_{codec}")
-            src.write.option("compression", codec).parquet(pq_dir)
-            pq_sizes[codec] = sum(
-                os.path.getsize(os.path.join(pq_dir, f))
-                for f in os.listdir(pq_dir)
-                if f.endswith(".parquet")
-            )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    pq_sizes = {"uncompressed": 0, "snappy": 0}
+    if parquet_oracle:
+        tmp = tempfile.mkdtemp(prefix="colcrush_bench_")
+        try:
+            for codec in ("uncompressed", "snappy"):
+                pq_dir = os.path.join(tmp, f"pq_{codec}")
+                src.write.option("compression", codec).parquet(pq_dir)
+                pq_sizes[codec] = sum(
+                    os.path.getsize(os.path.join(pq_dir, f))
+                    for f in os.listdir(pq_dir)
+                    if f.endswith(".parquet")
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     pq_bytes = pq_sizes["snappy"]
 
     src.unpersist()
     assert n_dec == n_rows
     assert n_proj == n_rows
+    if not parquet_oracle:
+        return {
+            "encode_sec": round(encode_s, 3),
+            "decode_sec": round(decode_s, 3),
+            "projected_decode_sec": round(projected_s, 3),
+            "encode_gbps_content": round(content_bytes / encode_s / 1e9, 4),
+            "decode_gbps_raw": round(total_raw / decode_s / 1e9, 4),
+            "encode_cpu_sec": round(encode_cpu, 2),
+            "encode_mbps_content_per_cpu": round(
+                content_bytes / max(0.001, encode_cpu) / 1e6, 1
+            ),
+            "decode_cpu_sec": round(decode_cpu, 2),
+            "decode_mbps_raw_per_cpu": round(
+                total_raw / max(0.001, decode_cpu) / 1e6, 1
+            ),
+        }
     return {
         "codec_mix": mix,
         "encode_rows": n_rows,
@@ -253,6 +270,23 @@ def main():
 
     enc = bench_encode(spark, n_rows, profile)
 
+    # executor-shaped companion run: the 100 TB deployment model is
+    # 8-core executors (SCALE.md), and this host's hypervisor grants
+    # ~8 effective cores — local[32] oversubscribes it ~4x, inflating
+    # CPU-seconds with scheduling/cache thrash that a real 8-core
+    # cgroup executor never pays (measured: SAME 120k-row encode,
+    # 13.6 cpu-s at local[8] vs 48-67 at local[32]). Keys are prefixed
+    # exec8_ and reported ALONGSIDE the unchanged primary metrics.
+    exec8 = {}
+    if cpus != 8:
+        spark.stop()
+        spark8 = get_spark("colcrush-bench-exec8", cores=8, driver_memory="48g")
+        e8 = bench_encode(spark8, n_rows, profile, parquet_oracle=False)
+        exec8 = {f"exec8_{k}": v for k, v in e8.items()}
+        spark8.stop()
+    else:
+        spark.stop()
+
     total = round(sum(queries.values()) + enc["encode_sec"], 3)
     out = {
         "metric": "headline_queries_plus_encode_wall",
@@ -262,9 +296,9 @@ def main():
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": cpus,
         **enc,
+        **exec8,
     }
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":
