@@ -48,11 +48,14 @@ __all__ = ["train", "compress", "decompress"]
 
 # max pairs merged per training round (escalating 1,2,4,... up to this;
 # see train_with_residual) — bounds rounds at ~log2(batch)+syms/batch.
-# Values above 64 are clamped at use: the C kernel's per-round
-# set_pairs buffer holds 64 entries and clamps batch_max to that, and
-# the fallback mirrors the clamp so both paths stay byte-identical at
-# any configured value.
-_TRAIN_BATCH_MAX = 32
+# Measured sweep (shard corpora, median/p90/big): 8 matches or beats
+# the old one-merge-per-round trainer's ratio EVERYWHERE while still
+# training 1.7-1.8x faster; 32 is another ~25% faster but costs up to
+# 15% ratio on p90-size shards. Values above 64 are clamped at use:
+# the C kernel's per-round set_pairs buffer holds 64 entries and
+# clamps batch_max to that, and the fallback mirrors the clamp so both
+# paths stay byte-identical at any configured value.
+_TRAIN_BATCH_MAX = 8
 
 
 def _presence(corpus: bytes) -> np.ndarray:
