@@ -1,0 +1,143 @@
+"""Per-chunk Bloom filters for equality-predicate chunk skipping.
+
+parquet-mr's answer to point lookups on high-cardinality columns is
+the split-block Bloom filter (public parquet-format spec): min/max
+stats cannot prune `commit = '<sha>'` — every chunk's hex range spans
+the literal — but a few KB of bloom bits per chunk skip almost all of
+them. parquet4s (sitting on parquet-mr) exposes no bloom knobs, so
+this is a beyond-reference capability, built the same way the engine's
+other stats are: computed vectorized at encode time, stored in the
+manifest, turned into a Catalyst expression at scan time.
+
+Layout (manifest column ``bloom: array<bigint>``):
+    [m_bits, k, word_0, ..., word_{m_bits/64 - 1}]
+m_bits is a power of two sized at ~10 bits per distinct value (capped
+at 16384 bits = 2 KB; column skipped entirely when the chunk has more
+than _MAX_DISTINCT distincts — a saturated bloom prunes nothing and
+bloats the manifest). At 100 TB that is <1% of encoded bytes, and the
+column is only READ when a bloom-eligible filter exists (parquet
+column pruning).
+
+Hashing is a polynomial rolling hash over the value bytes with uint64
+wraparound — exactly computable both vectorized (numpy, encode side)
+and scalar (pure Python ints, driver side for the filter literal);
+tests pin the two implementations equal. Probe positions use standard
+double hashing: idx_i = (h_lo + i * h_hi) mod m_bits.
+
+False positives only ever UNDER-prune (a surviving chunk still passes
+the exact residual predicate); a false negative would silently drop
+rows, so the no-false-negative property is hypothesis-tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_P = 0x100000001B3  # FNV-1a prime (odd -> full-period multiplier mod 2^64)
+_MIX = 0xFF51AFD7ED558CCD  # murmur3 finalizer constant
+_LEN_SALT = 0x9E3779B97F4A7C15
+_MASK64 = (1 << 64) - 1
+
+_MAX_VALUE_LEN = 256  # longer values (content blobs) are never point-looked-up
+_MAX_DISTINCT = 2048  # beyond this a <=2KB bloom saturates
+_MAX_BITS = 16384  # 2 KB ceiling per (chunk, column)
+_MAX_K = 8
+
+# P^j mod 2^64 for j in [0, _MAX_VALUE_LEN)
+_POW = np.empty(_MAX_VALUE_LEN, dtype=np.uint64)
+_POW[0] = 1
+for _j in range(1, _MAX_VALUE_LEN):
+    _POW[_j] = np.uint64((int(_POW[_j - 1]) * _P) & _MASK64)
+
+
+def _finalize(h: "np.ndarray | int", length: "np.ndarray | int"):
+    """Shared scalar/vector mixing tail (uint64 wraparound both ways)."""
+    if isinstance(h, np.ndarray):
+        with np.errstate(over="ignore"):
+            h = h + np.uint64(_LEN_SALT) * length.astype(np.uint64)
+            h = h ^ (h >> np.uint64(33))
+            h = h * np.uint64(_MIX)
+            h = h ^ (h >> np.uint64(33))
+        return h
+    h = (h + _LEN_SALT * length) & _MASK64
+    h ^= h >> 33
+    h = (h * _MIX) & _MASK64
+    h ^= h >> 33
+    return h
+
+
+def hash_values(lengths: np.ndarray, blob: bytes) -> np.ndarray:
+    """Vectorized polynomial hash of concatenated values (uint64[n]).
+
+    ``lengths`` are the per-value byte lengths of ``blob`` segments;
+    every length must be < _MAX_VALUE_LEN (caller-gated)."""
+    n = len(lengths)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lengths = lengths.astype(np.int64, copy=False)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    total = int(starts[-1] + lengths[-1])
+    a = np.frombuffer(blob, dtype=np.uint8, count=total).astype(np.uint64)
+    # position of each byte within its value
+    j = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    with np.errstate(over="ignore"):
+        terms = a * _POW[j]
+        cs = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(terms, out=cs[1:])  # uint64 wraparound keeps sums exact mod 2^64
+        h = cs[starts + lengths] - cs[starts]
+    return _finalize(h, lengths)
+
+
+def hash_value(value: "str | bytes") -> int:
+    """Scalar twin of hash_values for a single filter literal."""
+    b = value.encode("utf-8", "surrogatepass") if isinstance(value, str) else bytes(value)
+    h = 0
+    for j, byte in enumerate(b):
+        h = (h + byte * int(_POW[j % _MAX_VALUE_LEN])) & _MASK64
+    return int(_finalize(h, len(b)))
+
+
+def _geometry(n_distinct: int) -> tuple[int, int]:
+    m = 256
+    while m < 10 * n_distinct and m < _MAX_BITS:
+        m <<= 1
+    k = max(1, min(_MAX_K, round(0.693 * m / max(1, n_distinct))))
+    return m, k
+
+
+def build_bloom(lengths: np.ndarray, blob: bytes) -> "list[int] | None":
+    """Bloom words for one chunk column, or None when ineligible
+    (a value too long, or too many distincts for a useful <=2KB bloom).
+
+    Returns [m_bits, k, *words] ready for the manifest array<bigint>
+    column. Deterministic pure function of the values — chunk manifest
+    rows stay byte-identical across partitionings and resumes."""
+    if len(lengths) == 0:
+        return None
+    if int(lengths.max()) >= _MAX_VALUE_LEN:
+        return None
+    h = np.unique(hash_values(lengths, blob))  # distinct values (mod hash)
+    if len(h) > _MAX_DISTINCT:
+        return None
+    m, k = _geometry(len(h))
+    h_lo = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h_hi = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.int64)
+    bits = np.zeros(m, dtype=bool)
+    for i in range(k):
+        idx = (h_lo + i * h_hi) % m
+        bits |= np.bincount(idx, minlength=m).astype(bool)
+    # LSB-first within each 64-bit word (element_at(bloom, 3+idx//64)
+    # >> (idx%64)) & 1 on the query side
+    words = (
+        np.packbits(bits, bitorder="little")
+        .view(np.uint64)
+        .view(np.int64)
+    )
+    return [int(m), int(k)] + [int(w) for w in words]
+
+
+def probe_params(value: "str | bytes") -> tuple[int, int]:
+    """(h_lo, h_hi) for the scan-side double-hash probe expressions."""
+    h = hash_value(value)
+    return h & 0xFFFFFFFF, (h >> 32) | 1

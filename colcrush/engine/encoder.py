@@ -31,18 +31,19 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from ..codecs import encode_array
+from ..codecs import bloom as bloom_mod
 
 ENCODED_DDL = (
     "chunk_id string, group_key string, salt int, seq bigint, column string, "
     "codec string, n_rows bigint, n_nulls bigint, raw_bytes bigint, "
     "enc_bytes bigint, dict_size bigint, min_s string, max_s string, "
-    "min_d double, max_d double, payload binary"
+    "min_d double, max_d double, bloom array<bigint>, payload binary"
 )
 
 MANIFEST_COLS = [
     "chunk_id", "group_key", "salt", "seq", "column", "codec", "n_rows",
     "n_nulls", "raw_bytes", "enc_bytes", "dict_size", "min_s", "max_s",
-    "min_d", "max_d",
+    "min_d", "max_d", "bloom",
 ]
 
 _STAT_TRUNC = 64
@@ -139,6 +140,33 @@ def group_key_expr(group_cols: list[str]) -> "F.Column":
     return F.to_json(F.array(*[F.col(c).cast("string") for c in group_cols]))
 
 
+def _chunk_bloom(arr: pa.Array) -> "list[int] | None":
+    """Bloom words for a short-string column chunk (see codecs/bloom.py),
+    None when the column is ineligible. The length gate reads only the
+    offsets buffer, so long-text columns (content) cost one np.diff and
+    never copy their data bytes."""
+    t = arr.type
+    if not (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        return None
+    nn = arr.drop_null()
+    if len(nn) == 0:
+        return None
+    lb = nn.cast(pa.large_binary())
+    offsets = np.frombuffer(
+        lb.buffers()[1], dtype=np.int64, count=len(lb) + 1, offset=lb.offset * 8
+    )
+    lengths = np.diff(offsets)
+    if int(lengths.max()) >= bloom_mod._MAX_VALUE_LEN:
+        return None
+    blob = lb.buffers()[2][offsets[0] : offsets[-1]].to_pybytes()
+    return bloom_mod.build_bloom(lengths, blob)
+
+
 def _encode_chunk(
     batches: list[pa.RecordBatch],
     group_key: str,
@@ -153,7 +181,7 @@ def _encode_chunk(
     rows = {name: [] for name in (
         "chunk_id", "group_key", "salt", "seq", "column", "codec", "n_rows",
         "n_nulls", "raw_bytes", "enc_bytes", "dict_size", "min_s", "max_s",
-        "min_d", "max_d", "payload")}
+        "min_d", "max_d", "bloom", "payload")}
     for name in tbl.column_names:
         arr = tbl.column(name).combine_chunks()
         cache = None
@@ -175,6 +203,7 @@ def _encode_chunk(
         rows["max_s"].append(_stat_str_max(meta["max"]))
         rows["min_d"].append(_stat_num(meta["min"], toward=float("-inf")))
         rows["max_d"].append(_stat_num(meta["max"], toward=float("inf")))
+        rows["bloom"].append(_chunk_bloom(arr))
         rows["payload"].append(blob)
     return pa.record_batch(
         [
@@ -193,6 +222,7 @@ def _encode_chunk(
             pa.array(rows["max_s"], type=pa.string()),
             pa.array(rows["min_d"], type=pa.float64()),
             pa.array(rows["max_d"], type=pa.float64()),
+            pa.array(rows["bloom"], type=pa.list_(pa.int64())),
             pa.array(rows["payload"], type=pa.binary()),
         ],
         names=list(rows.keys()),

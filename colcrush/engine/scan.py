@@ -125,12 +125,40 @@ def column_min_max(spark: SparkSession, path: str, column: str) -> tuple[Any, An
     return mn, mx
 
 
-def _chunk_survives(filt: tuple) -> "F.Column":
+def _bloom_excludes(value) -> "F.Column":
+    """True when the chunk's bloom PROVES ``value`` absent (bloom
+    present and at least one of its k double-hash probe bits clear).
+    NULL/absent blooms never exclude. Built as one SQL expression
+    because shiftright-by-a-column has no DataFrame-API form; the only
+    interpolated pieces are integers derived from the value's hash.
+
+    See codecs/bloom.py for the layout ([m_bits, k, words...]) and the
+    shared scalar/vectorized hash the probe parameters come from."""
+    from ..codecs.bloom import _MAX_K, probe_params
+
+    h_lo, h_hi = probe_params(value)
+    probe_hits = []
+    for i in range(_MAX_K):
+        a = int(h_lo + i * h_hi)  # < 2^35, no bigint overflow
+        idx = f"pmod({a}L, element_at(bloom, 1))"
+        word = f"element_at(bloom, cast(shiftright({idx}, 6) + 3 as int))"
+        bit_set = f"(shiftright({word}, cast(pmod({idx}, 64) as int)) & 1L) = 1L"
+        # probe i is only required while i < k
+        probe_hits.append(f"({i} >= element_at(bloom, 2) OR {bit_set})")
+    maybe_present = " AND ".join(probe_hits)
+    return F.expr(f"(bloom IS NOT NULL AND NOT ({maybe_present}))")
+
+
+def _chunk_survives(filt: tuple, with_bloom: bool = False) -> "F.Column":
     """Manifest predicate: True if a chunk MIGHT contain matching rows.
 
     Mirrors parquet4s's canDrop contract (inverted): only provably
     empty chunks are dropped. String stats are truncated to 64 chars at
     encode time, so string range checks are conservative by design.
+    ``with_bloom`` additionally consults the per-chunk bloom filter for
+    string equality / in-set predicates (only passed when the manifest
+    schema carries the ``bloom`` column — datasets written before it
+    existed scan exactly as before).
 
     Filters are conjuncts; a conjunct may be ("or", [leaf, ...]) whose
     leaves must reference the SAME column (parquet4s boolean algebra,
@@ -139,7 +167,7 @@ def _chunk_survives(filt: tuple) -> "F.Column":
     if filt and filt[0] == "or":
         out = F.lit(False)
         for leaf in filt[1]:
-            out = out | _chunk_survives(tuple(leaf))
+            out = out | _chunk_survives(tuple(leaf), with_bloom)
         return out
     col, op, val = (filt + (None,))[:3]
     if op == "is_null":
@@ -158,6 +186,10 @@ def _chunk_survives(filt: tuple) -> "F.Column":
         lit = F.lit
     else:
         return F.lit(True)
+    str_like = isinstance(val, (str, bytes)) or (
+        isinstance(val, (list, tuple, set))
+        and all(isinstance(v, (str, bytes)) for v in val)
+    )
     have = mn.isNotNull() & mx.isNotNull()
     if op == "==":
         keep = (mn <= lit(val)) & (mx >= lit(val))
@@ -172,10 +204,18 @@ def _chunk_survives(filt: tuple) -> "F.Column":
     elif op == "in":
         keep = F.lit(False)
         for v in val if isinstance(val, (list, tuple, set)) else [val]:
-            keep = keep | ((mn <= lit(v)) & (mx >= lit(v)))
+            branch = (mn <= lit(v)) & (mx >= lit(v))
+            if with_bloom and isinstance(v, (str, bytes)):
+                branch = branch & ~_bloom_excludes(v)
+            keep = keep | branch
     else:  # != and anything else: can't prune via range
         return F.lit(True)
-    return F.when(have, keep).otherwise(F.lit(True))
+    survive = F.when(have, keep).otherwise(F.lit(True))
+    if with_bloom and op == "==" and str_like:
+        # bloom exclusion composes with (never replaces) the range
+        # check: absent/null blooms fall back to range-only semantics
+        survive = survive & ~_bloom_excludes(val)
+    return survive
 
 
 def _leaf_condition(f) -> "F.Column":
@@ -257,9 +297,14 @@ def scan(
     if filters:
         manifest = read_manifest(spark, path)
         # a chunk survives iff EVERY conjunct's per-column check passes
+        # bloom-assisted pruning only when the manifest carries the
+        # column (datasets written before it existed scan unchanged)
+        wb = "bloom" in manifest.columns
         alive = manifest
         for f in filters:
-            cond_df = manifest.where(_conjunct_manifest_expr(f)).select("chunk_id")
+            cond_df = manifest.where(
+                _conjunct_manifest_expr(f, with_bloom=wb)
+            ).select("chunk_id")
             alive = alive.join(cond_df, on="chunk_id", how="left_semi")
         alive_ids = alive.select("chunk_id").distinct()
         # no broadcast hint: the surviving-chunk set is unbounded at
@@ -303,9 +348,12 @@ def filtered_min_max(
     the seed chunks yield no matching rows or stats are absent."""
     filters = list(filters or [])
     manifest = read_manifest(spark, path)
+    wb = "bloom" in manifest.columns
     alive = manifest.select("chunk_id").distinct()
     for f in filters:
-        cond_df = manifest.where(_conjunct_manifest_expr(f)).select("chunk_id")
+        cond_df = manifest.where(
+            _conjunct_manifest_expr(f, with_bloom=wb)
+        ).select("chunk_id")
         alive = alive.join(cond_df, on="chunk_id", how="left_semi")
     # stats rows of the target column for surviving chunks — stays a
     # DataFrame (12.5M chunks at 100 TB never land on the driver)
@@ -383,11 +431,14 @@ def pruned_chunk_count(
     """(surviving_chunks, total_chunks) for a filter — test/observability
     hook proving chunk skipping actually skips."""
     manifest = read_manifest(spark, path)
+    wb = "bloom" in manifest.columns
     total = manifest.select("chunk_id").distinct().count()
     alive = manifest.select("chunk_id").distinct()
     for f in filters:
         cond_df = (
-            manifest.where(_conjunct_manifest_expr(f)).select("chunk_id").distinct()
+            manifest.where(_conjunct_manifest_expr(f, with_bloom=wb))
+            .select("chunk_id")
+            .distinct()
         )
         alive = alive.join(cond_df, on="chunk_id", how="left_semi")
     return alive.count(), total
@@ -399,7 +450,7 @@ def _filter_cols(f) -> set[str]:
     return {f[0]}
 
 
-def _conjunct_manifest_expr(f) -> "F.Column":
+def _conjunct_manifest_expr(f, with_bloom: bool = False) -> "F.Column":
     """Manifest-row predicate for one conjunct: the chunk has SOME stats
     row proving a possible match. OR-conjuncts survive if any branch's
     column stats admit a match."""
@@ -407,10 +458,11 @@ def _conjunct_manifest_expr(f) -> "F.Column":
         expr = F.lit(False)
         for leaf in f[1]:
             expr = expr | (
-                (F.col("column") == leaf[0]) & _chunk_survives(tuple(leaf))
+                (F.col("column") == leaf[0])
+                & _chunk_survives(tuple(leaf), with_bloom)
             )
         return expr
-    return (F.col("column") == f[0]) & _chunk_survives(tuple(f))
+    return (F.col("column") == f[0]) & _chunk_survives(tuple(f), with_bloom)
 
 
 def scan_udp(

@@ -234,6 +234,46 @@ def q_stats_engine_minmax(spark, sf):
     )
 
 
+def q_scan_bloom_point(spark, sf):
+    """Bloom-filter chunk skipping for string point lookups — the
+    parquet split-block BloomFilter analog (public parquet-format
+    spec; parquet4s exposes no bloom knobs, so this is beyond-reference
+    scale capability): min/max stats cannot prune equality on
+    high-cardinality strings, but the per-chunk bloom in the manifest
+    (codecs/bloom.py) drops every chunk that provably lacks the value.
+    Encodes customer grouped by mktsegment, point-looks-up the three
+    lexicographically smallest c_name values; results must equal
+    DuckDB's plain filter (pruning may only ever UNDER-prune)."""
+    import shutil
+    import tempfile
+
+    from .engine import write_encoded
+    from .engine.scan import scan
+
+    cust = _t(spark, sf, "customer")
+    targets = [
+        r[0] for r in cust.select("c_name").orderBy("c_name").limit(3).collect()
+    ]
+    d = tempfile.mkdtemp(prefix="colcrush_bloom_")
+    try:
+        path = f"{d}/ds"
+        write_encoded(
+            cust, path, group_cols=["c_mktsegment"], target_chunk_rows=256
+        )
+        out = scan(
+            spark,
+            path,
+            columns=["c_custkey", "c_name", "c_acctbal"],
+            filters=[("c_name", "in", targets)],
+        )
+        rows = [(r["c_custkey"], r["c_name"], r["c_acctbal"]) for r in out.collect()]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_acctbal double"
+    )
+
+
 def q_stats_grouped(spark, sf):
     """Partition-aware stats (stats/PartitionedFileStats.scala)."""
     return (
@@ -694,6 +734,7 @@ QUERIES = {
     "stats_minmax": q_stats_minmax,
     "stats_filtered_minmax": q_stats_filtered_minmax,
     "stats_engine_minmax": q_stats_engine_minmax,
+    "scan_bloom_point": q_scan_bloom_point,
     "stats_grouped": q_stats_grouped,
     "nested_json": q_nested_json,
     "roundtrip_documents_sha": q_roundtrip_documents_sha,
@@ -937,6 +978,10 @@ ORACLES = {
     ),
     "filter_null": (
         "SELECT event_id, value FROM events WHERE value IS NOT NULL AND value > 99.0"
+    ),
+    "scan_bloom_point": (
+        "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_name IN ("
+        "  SELECT c_name FROM customer ORDER BY c_name LIMIT 3)"
     ),
     "record_filter": (
         "SELECT event_id, event_type FROM ("

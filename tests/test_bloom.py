@@ -1,0 +1,137 @@
+"""Per-chunk Bloom filters (codecs/bloom.py + scan integration).
+
+The parquet split-block BloomFilter analog (public parquet-format
+spec): equality predicates on high-cardinality strings can't prune via
+min/max, the manifest bloom drops chunks that provably lack the value.
+False positives only UNDER-prune (the residual predicate still runs);
+a false negative would silently drop rows — that property gets the
+hypothesis treatment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from colcrush.codecs import bloom
+
+
+def _member(words: list[int], value) -> bool:
+    m, k = words[0], words[1]
+    h_lo, h_hi = bloom.probe_params(value)
+    return all(
+        (words[2 + (((h_lo + i * h_hi) % m) >> 6)] >> (((h_lo + i * h_hi) % m) & 63)) & 1
+        for i in range(k)
+    )
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.text(max_size=60) | st.binary(max_size=60), min_size=1, max_size=300
+    )
+)
+def test_bloom_never_false_negative(values):
+    bs = [
+        v.encode("utf-8", "surrogatepass") if isinstance(v, str) else v
+        for v in values
+    ]
+    lengths = np.array([len(b) for b in bs], dtype=np.int64)
+    words = bloom.build_bloom(lengths, b"".join(bs))
+    assert words is not None
+    for v in values:
+        assert _member(words, v), f"false negative for {v!r}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=255))
+def test_hash_scalar_vector_parity(value):
+    b = value.encode("utf-8", "surrogatepass")
+    lengths = np.array([len(b)], dtype=np.int64)
+    assert int(bloom.hash_values(lengths, b)[0]) == bloom.hash_value(value)
+
+
+def test_bloom_ineligible_cases():
+    # a single too-long value disables the whole column's bloom
+    bs = [b"short", b"x" * bloom._MAX_VALUE_LEN]
+    lengths = np.array([len(b) for b in bs], dtype=np.int64)
+    assert bloom.build_bloom(lengths, b"".join(bs)) is None
+    # too many distincts for a useful <=2KB bloom
+    bs = [f"v{i}".encode() for i in range(bloom._MAX_DISTINCT + 1)]
+    lengths = np.array([len(b) for b in bs], dtype=np.int64)
+    assert bloom.build_bloom(lengths, b"".join(bs)) is None
+    # empty column
+    assert bloom.build_bloom(np.zeros(0, dtype=np.int64), b"") is None
+
+
+def test_bloom_scan_prunes_and_matches(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from colcrush.engine import write_encoded
+    from colcrush.engine.scan import pruned_chunk_count, scan
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    path = str(tmp_path / "ds")
+    write_encoded(cust, path, group_cols=["c_mktsegment"], target_chunk_rows=32)
+
+    target = cust.select("c_name").orderBy("c_custkey").limit(1).collect()[0][0]
+    filt = [("c_name", "==", target)]
+    surv, total = pruned_chunk_count(spark, path, filt)
+    # min/max cannot prune same-format names; the bloom must
+    assert total >= 4 and surv < total
+    got = scan(spark, path, columns=["c_custkey", "c_name"], filters=filt)
+    exp = cust.where(F.col("c_name") == target).select("c_custkey", "c_name")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+    # absent value: every chunk provably excluded, scan returns nothing
+    surv0, _ = pruned_chunk_count(
+        spark, path, [("c_name", "==", "Customer#999999999")]
+    )
+    assert surv0 == 0
+    assert scan(
+        spark, path, filters=[("c_name", "==", "Customer#999999999")]
+    ).count() == 0
+
+    # in-set with one present and one absent member stays exact
+    filt_in = [("c_name", "in", [target, "Customer#999999999"])]
+    got_in = scan(spark, path, columns=["c_name"], filters=filt_in).collect()
+    assert [r["c_name"] for r in got_in] == [target]
+
+    # long-text columns carry no bloom (ineligible), short ones do
+    from colcrush.engine.dataset import read_manifest
+
+    m = read_manifest(spark, path)
+    per_col = {
+        r["column"]: r["n"]
+        for r in m.groupBy("column")
+        .agg(F.sum(F.when(F.col("bloom").isNotNull(), 1).otherwise(0)).alias("n"))
+        .collect()
+    }
+    assert per_col["c_name"] > 0
+    assert per_col["c_custkey"] == 0  # non-string column
+
+
+def test_bloom_absent_manifest_is_tolerated(spark, tmp_path):
+    """Datasets written before the bloom column existed must scan
+    exactly as before (no AnalysisException, range-only pruning)."""
+    import pyspark.sql.functions as F
+
+    from colcrush.engine import write_encoded
+    from colcrush.engine.dataset import MANIFEST_DIR
+    from colcrush.engine.scan import scan
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    path = str(tmp_path / "legacy")
+    write_encoded(cust, path, group_cols=["c_mktsegment"], target_chunk_rows=32)
+    # rewrite the manifest without the bloom column (legacy layout)
+    mpath = f"{path}/{MANIFEST_DIR}"
+    legacy = spark.read.parquet(mpath).drop("bloom").cache()
+    legacy.count()
+    legacy.write.mode("overwrite").parquet(mpath)
+    legacy.unpersist()
+
+    target = cust.select("c_name").orderBy("c_custkey").limit(1).collect()[0][0]
+    got = scan(spark, path, columns=["c_name"], filters=[("c_name", "==", target)])
+    assert [r["c_name"] for r in got.collect()] == [target]
