@@ -10,7 +10,13 @@ other stats are: computed vectorized at encode time, stored in the
 manifest, turned into a Catalyst expression at scan time.
 
 Layout (manifest column ``bloom: array<bigint>``):
-    [m_bits, k, word_0, ..., word_{m_bits/64 - 1}]
+    [m_bits, k, kind, word_0, ..., word_{m_bits/64 - 1}]
+``kind`` tags the key representation (KIND_STR for string/binary
+bytes, KIND_INT for canonical 8-byte little-endian int64): Spark's
+equality semantics CAST across types (``int_col = '5'`` can match),
+so a probe keyed in one representation must never exclude a bloom
+built from the other — the scan side requires kind equality before
+trusting an exclusion.
 m_bits is a power of two sized at ~10 bits per distinct value (capped
 at 16384 bits = 2 KB; column skipped entirely when the chunk has more
 than _MAX_DISTINCT distincts — a saturated bloom prunes nothing and
@@ -42,6 +48,9 @@ _MAX_VALUE_LEN = 256  # longer values (content blobs) are never point-looked-up
 _MAX_DISTINCT = 2048  # beyond this a <=2KB bloom saturates
 _MAX_BITS = 16384  # 2 KB ceiling per (chunk, column)
 _MAX_K = 8
+
+KIND_STR = 0  # raw string/binary bytes
+KIND_INT = 1  # canonical 8-byte little-endian int64
 
 # P^j mod 2^64 for j in [0, _MAX_VALUE_LEN)
 _POW = np.empty(_MAX_VALUE_LEN, dtype=np.uint64)
@@ -106,13 +115,16 @@ def _geometry(n_distinct: int) -> tuple[int, int]:
     return m, k
 
 
-def build_bloom(lengths: np.ndarray, blob: bytes) -> "list[int] | None":
+def build_bloom(
+    lengths: np.ndarray, blob: bytes, kind: int = KIND_STR
+) -> "list[int] | None":
     """Bloom words for one chunk column, or None when ineligible
     (a value too long, or too many distincts for a useful <=2KB bloom).
 
-    Returns [m_bits, k, *words] ready for the manifest array<bigint>
-    column. Deterministic pure function of the values — chunk manifest
-    rows stay byte-identical across partitionings and resumes."""
+    Returns [m_bits, k, kind, *words] ready for the manifest
+    array<bigint> column. Deterministic pure function of the values —
+    chunk manifest rows stay byte-identical across partitionings and
+    resumes."""
     if len(lengths) == 0:
         return None
     if int(lengths.max()) >= _MAX_VALUE_LEN:
@@ -134,7 +146,7 @@ def build_bloom(lengths: np.ndarray, blob: bytes) -> "list[int] | None":
         .view(np.uint64)
         .view(np.int64)
     )
-    return [int(m), int(k)] + [int(w) for w in words]
+    return [int(m), int(k), int(kind)] + [int(w) for w in words]
 
 
 def probe_params(value: "str | bytes") -> tuple[int, int]:

@@ -141,11 +141,23 @@ def group_key_expr(group_cols: list[str]) -> "F.Column":
 
 
 def _chunk_bloom(arr: pa.Array) -> "list[int] | None":
-    """Bloom words for a short-string column chunk (see codecs/bloom.py),
-    None when the column is ineligible. The length gate reads only the
-    offsets buffer, so long-text columns (content) cost one np.diff and
-    never copy their data bytes."""
+    """Bloom words for a short-string or integer column chunk (see
+    codecs/bloom.py), None when the column is ineligible. For strings
+    the length gate reads only the offsets buffer, so long-text
+    columns (content) cost one np.diff and never copy their data
+    bytes. Integers hash their CANONICAL 8-byte little-endian int64
+    form — the scan side packs filter literals identically, so the
+    encoding width (int32 vs int64 column) never changes membership."""
     t = arr.type
+    if pa.types.is_integer(t):
+        nn = arr.drop_null()
+        if len(nn) == 0:
+            return None
+        v = nn.to_numpy(zero_copy_only=False).astype("<i8")
+        lengths = np.full(len(v), 8, dtype=np.int64)
+        return bloom_mod.build_bloom(
+            lengths, v.tobytes(), kind=bloom_mod.KIND_INT
+        )
     if not (
         pa.types.is_string(t)
         or pa.types.is_large_string(t)

@@ -125,28 +125,57 @@ def column_min_max(spark: SparkSession, path: str, column: str) -> tuple[Any, An
     return mn, mx
 
 
+def _bloom_key(v) -> "tuple[bytes | str, int] | None":
+    """(probe key, kind) for a filter literal, or None when the literal
+    has no bloom representation. Spark equality CASTS across types
+    (``int_col = '5'`` can match rows), so the probe carries the kind
+    its bytes were derived from and the expression below only trusts
+    an exclusion when the stored bloom was built from the SAME kind."""
+    from ..codecs.bloom import KIND_INT, KIND_STR
+
+    if isinstance(v, (str, bytes)):
+        return v, KIND_STR
+    if (
+        isinstance(v, int)
+        and not isinstance(v, bool)
+        and -(1 << 63) <= v < (1 << 63)
+    ):
+        import struct
+
+        return struct.pack("<q", v), KIND_INT
+    return None
+
+
 def _bloom_excludes(value) -> "F.Column":
     """True when the chunk's bloom PROVES ``value`` absent (bloom
-    present and at least one of its k double-hash probe bits clear).
-    NULL/absent blooms never exclude. Built as one SQL expression
-    because shiftright-by-a-column has no DataFrame-API form; the only
+    present, built from the literal's kind, and at least one of its k
+    double-hash probe bits clear). NULL/absent/kind-mismatched blooms
+    never exclude. Built as one SQL expression because
+    shiftright-by-a-column has no DataFrame-API form; the only
     interpolated pieces are integers derived from the value's hash.
 
-    See codecs/bloom.py for the layout ([m_bits, k, words...]) and the
-    shared scalar/vectorized hash the probe parameters come from."""
+    See codecs/bloom.py for the layout ([m_bits, k, kind, words...])
+    and the shared scalar/vectorized hash the params come from."""
     from ..codecs.bloom import _MAX_K, probe_params
 
-    h_lo, h_hi = probe_params(value)
+    key = _bloom_key(value)
+    if key is None:
+        return F.lit(False)
+    key_bytes, kind = key
+    h_lo, h_hi = probe_params(key_bytes)
     probe_hits = []
     for i in range(_MAX_K):
         a = int(h_lo + i * h_hi)  # < 2^35, no bigint overflow
         idx = f"pmod({a}L, element_at(bloom, 1))"
-        word = f"element_at(bloom, cast(shiftright({idx}, 6) + 3 as int))"
+        word = f"element_at(bloom, cast(shiftright({idx}, 6) + 4 as int))"
         bit_set = f"(shiftright({word}, cast(pmod({idx}, 64) as int)) & 1L) = 1L"
         # probe i is only required while i < k
         probe_hits.append(f"({i} >= element_at(bloom, 2) OR {bit_set})")
     maybe_present = " AND ".join(probe_hits)
-    return F.expr(f"(bloom IS NOT NULL AND NOT ({maybe_present}))")
+    return F.expr(
+        f"(bloom IS NOT NULL AND element_at(bloom, 3) = {kind}L "
+        f"AND NOT ({maybe_present}))"
+    )
 
 
 def _chunk_survives(filt: tuple, with_bloom: bool = False) -> "F.Column":
@@ -186,10 +215,6 @@ def _chunk_survives(filt: tuple, with_bloom: bool = False) -> "F.Column":
         lit = F.lit
     else:
         return F.lit(True)
-    str_like = isinstance(val, (str, bytes)) or (
-        isinstance(val, (list, tuple, set))
-        and all(isinstance(v, (str, bytes)) for v in val)
-    )
     have = mn.isNotNull() & mx.isNotNull()
     if op == "==":
         keep = (mn <= lit(val)) & (mx >= lit(val))
@@ -205,15 +230,16 @@ def _chunk_survives(filt: tuple, with_bloom: bool = False) -> "F.Column":
         keep = F.lit(False)
         for v in val if isinstance(val, (list, tuple, set)) else [val]:
             branch = (mn <= lit(v)) & (mx >= lit(v))
-            if with_bloom and isinstance(v, (str, bytes)):
+            if with_bloom:
                 branch = branch & ~_bloom_excludes(v)
             keep = keep | branch
     else:  # != and anything else: can't prune via range
         return F.lit(True)
     survive = F.when(have, keep).otherwise(F.lit(True))
-    if with_bloom and op == "==" and str_like:
+    if with_bloom and op == "==":
         # bloom exclusion composes with (never replaces) the range
-        # check: absent/null blooms fall back to range-only semantics
+        # check: absent/null/kind-mismatched blooms fall back to
+        # range-only semantics (see _bloom_key)
         survive = survive & ~_bloom_excludes(val)
     return survive
 
@@ -293,6 +319,7 @@ def scan(
     """
     schema = read_schema(path)
     filters = list(filters or [])
+    _check_filter_types(schema, filters)
     chunks = read_chunks(spark, path)
     if filters:
         manifest = read_manifest(spark, path)
@@ -347,6 +374,7 @@ def filtered_min_max(
     survivor (the round-1 gap). Falls back to a full filtered scan when
     the seed chunks yield no matching rows or stats are absent."""
     filters = list(filters or [])
+    _check_filter_types(read_schema(path), filters)
     manifest = read_manifest(spark, path)
     wb = "bloom" in manifest.columns
     alive = manifest.select("chunk_id").distinct()
@@ -448,6 +476,52 @@ def _filter_cols(f) -> set[str]:
     if f and f[0] == "or":
         return {leaf[0] for leaf in f[1]}
     return {f[0]}
+
+
+def _check_filter_types(schema, filters: list[tuple]) -> None:
+    """Reject filter literals whose Python kind mismatches the column
+    type. parquet4s filters are statically typed (Filter.scala builds
+    them from typed codecs — a mismatched literal cannot compile);
+    here a mismatched literal would silently fall into the WRONG stats
+    domain: e.g. an int column's min_s/max_s hold stringified numbers,
+    whose lexicographic order is NOT an upper bound for string
+    comparison ({9, 100} -> max_s '100' < '9'), so pruning against a
+    string literal could drop chunks Spark's lenient cast semantics
+    would match. Raising keeps the engine's never-drop guarantee."""
+    from pyspark.sql import types as T
+
+    kinds = {f.name: f.dataType for f in schema.fields}
+
+    def leaf(col, op, val):
+        if op in ("is_null", "not_null") or val is None:
+            return
+        dt = kinds.get(col)
+        if dt is None:
+            return  # unknown columns raise downstream with a clearer message
+        vals = val if isinstance(val, (list, tuple, set)) else [val]
+        for v in vals:
+            if isinstance(v, bool):
+                ok = isinstance(dt, T.BooleanType)
+            elif isinstance(v, (int, float)):
+                ok = isinstance(dt, T.NumericType)
+            elif isinstance(v, (str, bytes)):
+                ok = isinstance(dt, (T.StringType, T.BinaryType))
+            else:
+                ok = True  # dates/decimals etc.: no stats-domain hazard
+            if not ok:
+                raise ValueError(
+                    f"filter literal {v!r} ({type(v).__name__}) does not "
+                    f"match column {col!r} of type {dt.simpleString()}; "
+                    "cast the literal explicitly (typed filters, as in "
+                    "parquet4s)"
+                )
+
+    for f in filters:
+        if f and f[0] == "or":
+            for lf in f[1]:
+                leaf(*(tuple(lf) + (None,))[:3])
+        else:
+            leaf(*(tuple(f) + (None,))[:3])
 
 
 def _conjunct_manifest_expr(f, with_bloom: bool = False) -> "F.Column":

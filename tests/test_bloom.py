@@ -22,7 +22,7 @@ def _member(words: list[int], value) -> bool:
     m, k = words[0], words[1]
     h_lo, h_hi = bloom.probe_params(value)
     return all(
-        (words[2 + (((h_lo + i * h_hi) % m) >> 6)] >> (((h_lo + i * h_hi) % m) & 63)) & 1
+        (words[3 + (((h_lo + i * h_hi) % m) >> 6)] >> (((h_lo + i * h_hi) % m) & 63)) & 1
         for i in range(k)
     )
 
@@ -66,6 +66,20 @@ def test_bloom_ineligible_cases():
     assert bloom.build_bloom(np.zeros(0, dtype=np.int64), b"") is None
 
 
+def test_int_bloom_and_kind_tag():
+    import struct
+
+    vals = np.array([3, -7, 2**40, 0, 3], dtype="<i8")
+    lengths = np.full(len(vals), 8, dtype=np.int64)
+    words = bloom.build_bloom(lengths, vals.tobytes(), kind=bloom.KIND_INT)
+    assert words is not None and words[2] == bloom.KIND_INT
+    for v in (3, -7, 2**40, 0):
+        assert _member(words, struct.pack("<q", v))
+    # a string bloom carries the other kind tag
+    swords = bloom.build_bloom(np.array([1], dtype=np.int64), b"a")
+    assert swords[2] == bloom.KIND_STR
+
+
 def test_bloom_scan_prunes_and_matches(spark, tmp_path):
     import pyspark.sql.functions as F
 
@@ -99,7 +113,31 @@ def test_bloom_scan_prunes_and_matches(spark, tmp_path):
     got_in = scan(spark, path, columns=["c_name"], filters=filt_in).collect()
     assert [r["c_name"] for r in got_in] == [target]
 
-    # long-text columns carry no bloom (ineligible), short ones do
+    # int point lookup: c_custkey equality must prune via the int bloom
+    key = cust.select("c_custkey").orderBy("c_custkey").limit(1).collect()[0][0]
+    got_k = scan(
+        spark, path, columns=["c_custkey"], filters=[("c_custkey", "==", int(key))]
+    ).collect()
+    assert [r["c_custkey"] for r in got_k] == [key]
+    surv_k, total_k = pruned_chunk_count(
+        spark, path, [("c_custkey", "==", -424242)]
+    )
+    assert surv_k == 0  # absent id: every chunk bloom-excluded
+
+    # CROSS-KIND literals: Spark casts (int_col = '<str>' can match
+    # rows), but an int column's stringified min_s/max_s is NOT a
+    # lexicographic bound and a string probe of an int-kind bloom is
+    # meaningless — scan REJECTS the mismatched literal outright
+    # (typed filters, as in parquet4s)...
+    with pytest.raises(ValueError, match="does not match column"):
+        scan(spark, path, filters=[("c_custkey", "==", str(key))])
+    # ...and the bloom kind tag independently keeps schema-less paths
+    # (pruned_chunk_count) from ever excluding on a cross-kind probe
+    surv_x, _ = pruned_chunk_count(
+        spark, path, [("c_custkey", "==", str(key))]
+    )
+    assert surv_x > 0
+    # short string + int columns carry blooms; long text / float don't
     from colcrush.engine.dataset import read_manifest
 
     m = read_manifest(spark, path)
@@ -110,7 +148,8 @@ def test_bloom_scan_prunes_and_matches(spark, tmp_path):
         .collect()
     }
     assert per_col["c_name"] > 0
-    assert per_col["c_custkey"] == 0  # non-string column
+    assert per_col["c_custkey"] > 0  # int columns bloom too
+    assert per_col["c_acctbal"] == 0  # float column: no bloom
 
 
 def test_bloom_absent_manifest_is_tolerated(spark, tmp_path):
