@@ -52,6 +52,7 @@ HEADLINE = [
     "window_running",
     "deterministic_sample",
     "contamination_check",
+    "scan_bloom_point",
 ]
 
 
