@@ -84,6 +84,11 @@ def hash_values(lengths: np.ndarray, blob: bytes) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     lengths = lengths.astype(np.int64, copy=False)
+    if int(lengths.max()) >= _MAX_VALUE_LEN:
+        raise ValueError(
+            f"hash_values: a value exceeds the {_MAX_VALUE_LEN - 1}-byte "
+            "bloom key domain (callers gate on length first)"
+        )
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
     total = int(starts[-1] + lengths[-1])
@@ -99,11 +104,22 @@ def hash_values(lengths: np.ndarray, blob: bytes) -> np.ndarray:
 
 
 def hash_value(value: "str | bytes") -> int:
-    """Scalar twin of hash_values for a single filter literal."""
+    """Scalar twin of hash_values for a single filter literal.
+
+    Same domain as the vectorized twin: values must be shorter than
+    _MAX_VALUE_LEN bytes (callers gate — a longer literal can never be
+    present in a bloom-eligible column, see probe handling in
+    engine/scan). A silent power-table wraparound here would let the
+    two implementations drift apart undetected."""
     b = value.encode("utf-8", "surrogatepass") if isinstance(value, str) else bytes(value)
+    if len(b) >= _MAX_VALUE_LEN:
+        raise ValueError(
+            f"hash_value: {len(b)}-byte value exceeds the "
+            f"{_MAX_VALUE_LEN - 1}-byte bloom key domain"
+        )
     h = 0
     for j, byte in enumerate(b):
-        h = (h + byte * int(_POW[j % _MAX_VALUE_LEN])) & _MASK64
+        h = (h + byte * int(_POW[j])) & _MASK64
     return int(_finalize(h, len(b)))
 
 
@@ -139,14 +155,17 @@ def build_bloom(
     for i in range(k):
         idx = (h_lo + i * h_hi) % m
         bits |= np.bincount(idx, minlength=m).astype(bool)
-    # LSB-first within each 64-bit word (element_at(bloom, 3+idx//64)
-    # >> (idx%64)) & 1 on the query side
-    words = (
-        np.packbits(bits, bitorder="little")
-        .view(np.uint64)
-        .view(np.int64)
-    )
-    return [int(m), int(k), int(kind)] + [int(w) for w in words]
+    # LSB-first within each 64-bit word (element_at(bloom, 4+idx//64)
+    # >> (idx%64)) & 1 on the query side. Words are assembled from the
+    # packed bytes with an EXPLICIT little-endian dtype and converted
+    # value-wise to signed two's complement: a native-endian .view()
+    # would make the stored words (and thus chunk output) depend on
+    # the host — the cross-toolchain identity invariant forbids that.
+    packed = np.packbits(bits, bitorder="little").tobytes()
+    words_u = np.frombuffer(packed, dtype="<u8")
+    return [int(m), int(k), int(kind)] + [
+        w - (1 << 64) if w >= (1 << 63) else w for w in map(int, words_u)
+    ]
 
 
 def probe_params(value: "str | bytes") -> tuple[int, int]:

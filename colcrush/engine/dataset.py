@@ -259,8 +259,14 @@ def resume_encode(
     if not fsio.exists(manifest_path):
         if fsio.exists(fsio.join(chunks_path, "_SUCCESS")):
             # crashed between chunk write and manifest commit: the chunk
-            # job itself completed (_SUCCESS), so recover the manifest
-            manifest = spark.read.parquet(chunks_path).select(*MANIFEST_COLS)
+            # job itself completed (_SUCCESS), so recover the manifest.
+            # Select only the manifest columns the chunk files actually
+            # carry — a dataset written before the bloom column existed
+            # must stay recoverable (legacy manifests simply lack it)
+            chunk_rows = spark.read.parquet(chunks_path)
+            manifest = chunk_rows.select(
+                *[c for c in MANIFEST_COLS if c in chunk_rows.columns]
+            )
             manifest.write.mode("overwrite").parquet(manifest_path)
         else:
             write_encoded(

@@ -156,12 +156,24 @@ def _bloom_excludes(value) -> "F.Column":
 
     See codecs/bloom.py for the layout ([m_bits, k, kind, words...])
     and the shared scalar/vectorized hash the params come from."""
-    from ..codecs.bloom import _MAX_K, probe_params
+    from ..codecs.bloom import _MAX_K, _MAX_VALUE_LEN, probe_params
 
     key = _bloom_key(value)
     if key is None:
         return F.lit(False)
     key_bytes, kind = key
+    kb = (
+        key_bytes.encode("utf-8", "surrogatepass")
+        if isinstance(key_bytes, str)
+        else key_bytes
+    )
+    if len(kb) >= _MAX_VALUE_LEN:
+        # a literal beyond the bloom key domain can never equal any
+        # value of a bloom-carrying column (all its values are shorter)
+        # — a same-kind bloom's presence alone proves absence
+        return F.expr(
+            f"(bloom IS NOT NULL AND element_at(bloom, 3) = {kind}L)"
+        )
     h_lo, h_hi = probe_params(key_bytes)
     probe_hits = []
     for i in range(_MAX_K):
@@ -374,7 +386,8 @@ def filtered_min_max(
     survivor (the round-1 gap). Falls back to a full filtered scan when
     the seed chunks yield no matching rows or stats are absent."""
     filters = list(filters or [])
-    _check_filter_types(read_schema(path), filters)
+    schema = read_schema(path)  # reused below — one metadata read
+    _check_filter_types(schema, filters)
     manifest = read_manifest(spark, path)
     wb = "bloom" in manifest.columns
     alive = manifest.select("chunk_id").distinct()
@@ -414,7 +427,6 @@ def filtered_min_max(
     if not seed_ids:
         return None, None
 
-    schema = read_schema(path)
     need = sorted({column} | {c for f in filters for c in _filter_cols(f)})
 
     def _extremes(id_filter) -> tuple[Any, Any]:
@@ -457,7 +469,10 @@ def pruned_chunk_count(
     spark: SparkSession, path: str, filters: list[tuple]
 ) -> tuple[int, int]:
     """(surviving_chunks, total_chunks) for a filter — test/observability
-    hook proving chunk skipping actually skips."""
+    hook proving chunk skipping actually skips. Validates literal types
+    against the schema exactly as scan() does (a cross-typed literal
+    would count range drops against stats from the wrong domain)."""
+    _check_filter_types(read_schema(path), filters)
     manifest = read_manifest(spark, path)
     wb = "bloom" in manifest.columns
     total = manifest.select("chunk_id").distinct().count()
@@ -505,7 +520,21 @@ def _check_filter_types(schema, filters: list[tuple]) -> None:
             elif isinstance(v, (int, float)):
                 ok = isinstance(dt, T.NumericType)
             elif isinstance(v, (str, bytes)):
-                ok = isinstance(dt, (T.StringType, T.BinaryType))
+                # temporal columns accept string literals: their
+                # stringified stats use one uniform format, so the
+                # lexicographic range check IS order-consistent (unlike
+                # stringified numbers), and _leaf_condition's cast
+                # matches Spark semantics
+                ok = isinstance(
+                    dt,
+                    (
+                        T.StringType,
+                        T.BinaryType,
+                        T.DateType,
+                        T.TimestampType,
+                        T.TimestampNTZType,
+                    ),
+                )
             else:
                 ok = True  # dates/decimals etc.: no stats-domain hazard
             if not ok:

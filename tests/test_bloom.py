@@ -48,9 +48,22 @@ def test_bloom_never_false_negative(values):
 @settings(max_examples=60, deadline=None)
 @given(st.text(max_size=255))
 def test_hash_scalar_vector_parity(value):
+    from hypothesis import assume
+
     b = value.encode("utf-8", "surrogatepass")
+    # the hash domain is BYTE length < _MAX_VALUE_LEN (multibyte chars
+    # can exceed it at 255 chars); out-of-domain raises on both sides
+    assume(len(b) < bloom._MAX_VALUE_LEN)
     lengths = np.array([len(b)], dtype=np.int64)
     assert int(bloom.hash_values(lengths, b)[0]) == bloom.hash_value(value)
+
+
+def test_hash_domain_guard_on_both_twins():
+    b = b"y" * bloom._MAX_VALUE_LEN
+    with pytest.raises(ValueError):
+        bloom.hash_value(b)
+    with pytest.raises(ValueError):
+        bloom.hash_values(np.array([len(b)], dtype=np.int64), b)
 
 
 def test_bloom_ineligible_cases():
@@ -127,16 +140,22 @@ def test_bloom_scan_prunes_and_matches(spark, tmp_path):
     # CROSS-KIND literals: Spark casts (int_col = '<str>' can match
     # rows), but an int column's stringified min_s/max_s is NOT a
     # lexicographic bound and a string probe of an int-kind bloom is
-    # meaningless — scan REJECTS the mismatched literal outright
-    # (typed filters, as in parquet4s)...
-    with pytest.raises(ValueError, match="does not match column"):
-        scan(spark, path, filters=[("c_custkey", "==", str(key))])
-    # ...and the bloom kind tag independently keeps schema-less paths
-    # (pruned_chunk_count) from ever excluding on a cross-kind probe
-    surv_x, _ = pruned_chunk_count(
-        spark, path, [("c_custkey", "==", str(key))]
+    # meaningless — every pruning entry point REJECTS the mismatched
+    # literal outright (typed filters, as in parquet4s)
+    for fn in (
+        lambda: scan(spark, path, filters=[("c_custkey", "==", str(key))]),
+        lambda: pruned_chunk_count(
+            spark, path, [("c_custkey", "==", str(key))]
+        ),
+    ):
+        with pytest.raises(ValueError, match="does not match column"):
+            fn()
+    # oversized literals (beyond the bloom key domain) must not crash:
+    # they provably match nothing in a bloom-carrying column
+    surv_long, _ = pruned_chunk_count(
+        spark, path, [("c_name", "==", "x" * 300)]
     )
-    assert surv_x > 0
+    assert surv_long == 0
     # short string + int columns carry blooms; long text / float don't
     from colcrush.engine.dataset import read_manifest
 
