@@ -193,3 +193,32 @@ def test_bloom_absent_manifest_is_tolerated(spark, tmp_path):
     target = cust.select("c_name").orderBy("c_custkey").limit(1).collect()[0][0]
     got = scan(spark, path, columns=["c_name"], filters=[("c_name", "==", target)])
     assert [r["c_name"] for r in got.collect()] == [target]
+
+
+def test_legacy_crash_recovery_without_bloom_column(spark, tmp_path):
+    """A PRE-bloom dataset that crashed between chunk write and
+    manifest commit must still be recoverable: the manifest rebuild
+    selects only the columns the chunk files actually carry."""
+    from colcrush.engine import resume_encode, write_encoded
+    from colcrush.engine.dataset import CHUNKS_DIR, MANIFEST_DIR, read_manifest
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    path = str(tmp_path / "crashds")
+    write_encoded(cust, path, group_cols=["c_mktsegment"], target_chunk_rows=64)
+
+    # simulate the legacy layout + crash: strip bloom from the chunk
+    # files and delete the manifest (chunk job's _SUCCESS remains)
+    cpath = f"{path}/{CHUNKS_DIR}"
+    legacy_chunks = spark.read.parquet(cpath).drop("bloom").cache()
+    legacy_chunks.count()
+    legacy_chunks.write.mode("overwrite").parquet(cpath)
+    legacy_chunks.unpersist()
+    import shutil
+
+    shutil.rmtree(f"{path}/{MANIFEST_DIR}")
+
+    # recovery must succeed and report nothing missing
+    assert resume_encode(cust, path, group_cols=["c_mktsegment"]) == 0
+    m = read_manifest(spark, path)
+    assert "bloom" not in m.columns
+    assert m.select("chunk_id").distinct().count() > 0
