@@ -187,6 +187,7 @@ def _encode_chunk(
     profile: str,
     kernel_caches: dict | None = None,
     namespace: str = "",
+    bloom_cols: "frozenset[str] | None" = None,
 ) -> pa.RecordBatch:
     tbl = pa.Table.from_batches(batches)
     cid = chunk_id_for(group_key, salt, seq, namespace)
@@ -215,7 +216,11 @@ def _encode_chunk(
         rows["max_s"].append(_stat_str_max(meta["max"]))
         rows["min_d"].append(_stat_num(meta["min"], toward=float("-inf")))
         rows["max_d"].append(_stat_num(meta["max"], toward=float("inf")))
-        rows["bloom"].append(_chunk_bloom(arr))
+        rows["bloom"].append(
+            _chunk_bloom(arr)
+            if bloom_cols is None or name in bloom_cols
+            else None
+        )
         rows["payload"].append(blob)
     return pa.record_batch(
         [
@@ -249,6 +254,7 @@ def _make_encode_fn(
     salt_col: str | None,
     gk_col: str | None = None,
     namespace: str = "",
+    bloom_cols: "frozenset[str] | None" = None,
 ):
     """Build the mapInArrow function. Rows arrive sorted by
     (group_cols, salt) within each partition; cut at group/salt changes
@@ -275,7 +281,7 @@ def _make_encode_fn(
             if buf_rows:
                 out = _encode_chunk(
                     buf, cur_key, cur_salt, seq, profile, kernel_caches,
-                    namespace,
+                    namespace, bloom_cols,
                 )
                 seq += 1
                 buf, buf_bytes, buf_rows = [], 0, 0
@@ -315,14 +321,26 @@ def _make_encode_fn(
                     seq = 0
                     kernel_caches.clear()  # new shard, new distribution
                 cur_key, cur_salt = key, salt
-                sl = data.slice(s, e - s)
-                buf.append(sl)
-                buf_rows += sl.num_rows
-                buf_bytes += sl.nbytes
-                if buf_bytes >= target_chunk_bytes or buf_rows >= target_chunk_rows:
-                    out = flush()
-                    if out is not None:
-                        yield out
+                # append in sub-slices capped at the row target: a run
+                # longer than target_chunk_rows inside ONE arrow batch
+                # must still cut at the cap (a whole-slice append would
+                # make chunk size — and boundary placement — depend on
+                # arrow batch segmentation instead of row position)
+                off = s
+                while off < e:
+                    take = min(e - off, target_chunk_rows - buf_rows)
+                    sl = data.slice(off, take)
+                    buf.append(sl)
+                    buf_rows += take
+                    buf_bytes += sl.nbytes
+                    off += take
+                    if (
+                        buf_bytes >= target_chunk_bytes
+                        or buf_rows >= target_chunk_rows
+                    ):
+                        out = flush()
+                        if out is not None:
+                            yield out
         out = flush()
         if out is not None:
             yield out
@@ -402,12 +420,25 @@ def encode_table(
     salted: bool = True,
     namespace: str = "",
     unstable_order_ok: bool = False,
+    bloom: "bool | Iterable[str]" = True,
 ) -> DataFrame:
     """Encode ``df`` into the chunk table (ENCODED_DDL schema).
 
     One shuffle: repartition on (group_cols, salt). Groups bigger than
     ``target_group_bytes`` are split across ``n_salts`` deterministic
     salts (hash of sort cols) — the skew fix required by north_rule.
+
+    ``bloom`` mirrors parquet-mr's per-column bloom enable (public
+    parquet-format spec / ParquetOutputFormat BLOOM_FILTER_ENABLED):
+    True (default) auto-builds per-chunk bloom stats for every eligible
+    column, False disables them everywhere (a 100 TB append-only corpus
+    nobody point-looks-up shouldn't pay the ~2 KB/chunk), and an
+    iterable of column names restricts building to exactly those
+    columns. Named columns still pass the per-chunk eligibility gates
+    (value length < 256 B, <= 2048 distincts — codecs/bloom.py); bloom
+    content for a built column is identical whether chosen by name or
+    by auto-eligibility, so partition-count/resume chunk identity is
+    unaffected by how the column was selected.
 
     Layouts:
     - ``group_cols`` (default path): hash partition on (group, salt);
@@ -520,8 +551,19 @@ def encode_table(
         df = df.repartition(num_partitions, salt_col)
         df = df.sortWithinPartitions(salt_col, key_col)
 
+    if bloom is True:
+        bloom_cols = None
+    elif bloom is False:
+        bloom_cols = frozenset()
+    else:
+        bloom_cols = frozenset(bloom)
+        unknown = bloom_cols - set(df.columns)
+        if unknown:
+            raise ValueError(
+                f"bloom columns not in the input: {sorted(unknown)}"
+            )
     fn = _make_encode_fn(
         group_cols, target_chunk_bytes, target_chunk_rows, profile, salt_col,
-        gk_col, namespace,
+        gk_col, namespace, bloom_cols,
     )
     return df.mapInArrow(fn, ENCODED_DDL)

@@ -215,12 +215,21 @@ def _chunk_survives(filt: tuple, with_bloom: bool = False) -> "F.Column":
         return F.col("n_nulls") > 0
     if op == "not_null":
         return F.col("n_rows") > F.col("n_nulls")
-    if isinstance(val, (int, float)) and not isinstance(val, bool):
+    # stats domain from a representative literal: for in-sets, the
+    # first element (the set is domain-homogeneous — mixed-kind lists
+    # are rejected against the column type by _check_filter_types, so
+    # an int IN-list prunes on min_d/max_d + KIND_INT bloom exactly
+    # like int equality; pre-r5 an int in-list silently fell through
+    # to "can't prune")
+    sample = (
+        next(iter(val))
+        if op == "in" and isinstance(val, (list, tuple, set)) and len(val)
+        else val
+    )
+    if isinstance(sample, (int, float)) and not isinstance(sample, bool):
         mn, mx = F.col("min_d"), F.col("max_d")
         lit = lambda v: F.lit(float(v))  # noqa: E731
-    elif isinstance(val, str) or (
-        isinstance(val, (list, tuple, set)) and all(isinstance(v, str) for v in val)
-    ):
+    elif isinstance(sample, str):
         # string stats: min_s is a truncated lower bound, max_s a
         # truncate-and-increment upper bound — range checks stay sound
         mn, mx = F.col("min_s"), F.col("max_s")

@@ -470,8 +470,9 @@ def dup_clusters(
     growing lineage, the previous round's blocks are explicitly
     unpersisted once the convergence check no longer needs them (at
     most two edge copies in executor storage), and the convergence
-    check (edge-set fixpoint: equal counts + empty set-difference) is
-    scalar actions, never a collect of data.
+    check (edge-set fixpoint: equal count + equal xor-of-hashes
+    checksum gating a definitive empty set-difference) is scalar
+    actions, never a collect of data.
 
     Returns one row per node that appears in ``pairs``; singleton
     documents (no dup edges) are implicitly their own cluster. Ids keep
@@ -499,6 +500,20 @@ def dup_clusters(
         out = df.localCheckpoint()
         return out, _pinned_ids() - before
 
+    def _edge_sig(df: DataFrame) -> tuple[int, "int | None"]:
+        """(count, order-independent xor checksum) of a canonical edge
+        SET in ONE action. The checksum gates the definitive (and
+        expensive — full double shuffle) exceptAll fixpoint test: two
+        equal-size rounds whose sets differ almost surely differ in
+        xor(xxhash64), so non-converged rounds never pay the set
+        difference. bit_xor (not sum) keeps the fold overflow-free
+        under Spark 4's default ANSI mode."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("sig"),
+        ).collect()[0]
+        return int(row["n"]), row["sig"]
+
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(
         F.col(id_a).isNotNull() & F.col(id_b).isNotNull()
     )
@@ -511,7 +526,7 @@ def dup_clusters(
         )
         .distinct()
     )
-    edge_count = edges.count()
+    edge_count, edge_sig = _edge_sig(edges)
     converged = False
     for _ in range(max_iterations):
         # large-star: over the bidirectional view, attach each node's
@@ -541,15 +556,19 @@ def dup_clusters(
             .where(F.col("a") != F.col("b"))
             .distinct()
         )
-        # fixpoint test on the canonical edge SET: same cardinality
-        # (previous round's count is reused, not recomputed) and empty
-        # one-sided difference (both scalar actions)
-        new_count = new_edges.count()
-        same = new_count == edge_count and (
-            new_edges.exceptAll(edges).count() == 0
+        # fixpoint test on the canonical edge SET: same cardinality and
+        # checksum (ONE scalar action; both reuse the previous round's
+        # values), then — only when both match — the definitive empty
+        # one-sided difference
+        new_count, new_sig = _edge_sig(new_edges)
+        same = (
+            new_count == edge_count
+            and new_sig == edge_sig
+            and new_edges.exceptAll(edges).count() == 0
         )
         _release(edge_ids)  # convergence check done — drop the old copy
-        edges, edge_ids, edge_count = new_edges, new_ids, new_count
+        edges, edge_ids = new_edges, new_ids
+        edge_count, edge_sig = new_count, new_sig
         if same:
             converged = True
             break

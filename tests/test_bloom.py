@@ -222,3 +222,87 @@ def test_legacy_crash_recovery_without_bloom_column(spark, tmp_path):
     m = read_manifest(spark, path)
     assert "bloom" not in m.columns
     assert m.select("chunk_id").distinct().count() > 0
+
+
+def test_bloom_enable_knob(spark, tmp_path):
+    """encode_table(bloom=...) mirrors parquet-mr's per-column bloom
+    enable: False builds none, a column list builds exactly those (and
+    their content matches the auto-built twin bit for bit), unknown
+    names raise."""
+    import pyspark.sql.functions as F
+
+    from colcrush.engine import encode_table
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+
+    def blooms(enc):
+        return {
+            r["column"]: r["n"]
+            for r in enc.where(F.col("bloom").isNotNull())
+            .groupBy("column").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    kw = dict(group_cols=["c_mktsegment"], target_chunk_rows=64)
+    auto = encode_table(cust, **kw)
+    have_auto = blooms(auto)
+    assert "c_name" in have_auto and "c_custkey" in have_auto
+
+    off = encode_table(cust, bloom=False, **kw)
+    assert blooms(off) == {}
+    # disabling blooms must not perturb payload bytes / chunk identity
+    a = {(r["chunk_id"], r["column"]): r for r in auto.collect()}
+    for r in off.collect():
+        assert bytes(r["payload"]) == bytes(
+            a[(r["chunk_id"], r["column"])]["payload"]
+        )
+
+    only = encode_table(cust, bloom=["c_name"], **kw)
+    have_only = blooms(only)
+    assert set(have_only) == {"c_name"}
+    # named selection produces the SAME bloom words as auto-eligibility
+    key = lambda r: (r["chunk_id"], r["column"])  # noqa: E731
+    auto_b = {
+        key(r): r["bloom"]
+        for r in auto.where(F.col("column") == "c_name").collect()
+    }
+    for r in only.where(F.col("column") == "c_name").collect():
+        assert r["bloom"] == auto_b[key(r)]
+
+    with pytest.raises(ValueError, match="not in the input"):
+        encode_table(cust, bloom=["nope"], **kw)
+
+
+def test_int_inset_pruning(spark, tmp_path):
+    """An in-set of INT literals prunes on min_d/max_d + KIND_INT bloom
+    exactly like int equality (pre-r5 it silently fell through to
+    'can't prune'), and never drops matching rows."""
+    import pyspark.sql.functions as F
+
+    from colcrush.engine import write_encoded
+    from colcrush.engine.scan import pruned_chunk_count, scan
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "ds")
+    write_encoded(
+        orders, path, group_cols=["o_orderpriority"], target_chunk_rows=64
+    )
+    keys = [
+        int(r[0])
+        for r in orders.select("o_orderkey").orderBy("o_orderkey").limit(3).collect()
+    ]
+    surv, total = pruned_chunk_count(spark, path, [("o_orderkey", "in", keys)])
+    assert total >= 8 and surv < total
+    got = scan(
+        spark, path, columns=["o_orderkey", "o_custkey"],
+        filters=[("o_orderkey", "in", keys)],
+    )
+    exp = orders.where(F.col("o_orderkey").isin(keys)).select(
+        "o_orderkey", "o_custkey"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+    # absent keys: every chunk excluded by the bloom despite in-range
+    surv0, _ = pruned_chunk_count(
+        spark, path, [("o_orderkey", "in", [keys[0] + 7777777, -5])]
+    )
+    assert surv0 == 0

@@ -258,6 +258,51 @@ def test_native_kernel_matches_numpy_bytes():
         fsst._native = nat
 
 
+def test_trainer_parity_native_vs_fallback(monkeypatch):
+    """The C trainer and the numpy/bytes.replace fallback must produce
+    IDENTICAL (table, residual) — the cross-toolchain chunk-identity
+    invariant rests on the batched trainer's alphabet-disjoint
+    single-pass-replace == sequential-replace equivalence, which the
+    compress-only parity test above cannot see (it trains once and only
+    compares compress/decompress). Varied corpora (skewed alphabets,
+    long runs, random bytes, templated code, near-full alphabets) at
+    several batch caps, including caps above the C kernel's 64-entry
+    set_pairs clamp."""
+    import numpy as np
+
+    from colcrush.codecs import fsst
+
+    if fsst._native is None:
+        pytest.skip("no C toolchain on this host")
+    rng = np.random.default_rng(11)
+    corpora = [
+        b"ab" * 4000 + b"c",                       # skewed 2-symbol alphabet
+        b"a" * 8000,                               # one long run (self-pairs)
+        b"abcabcabd" * 2000,                       # overlapping-pair ties
+        ("def f(x):\n    return x + 1\n\n" * 3000).encode(),
+        rng.integers(0, 250, size=60_000, dtype=np.uint8).tobytes(),
+        bytes(range(250)) * 300,                   # few free codes
+        rng.integers(0, 256, size=4096, dtype=np.uint8).tobytes(),
+        b"the quick brown fox jumps over the lazy dog " * 800,
+    ]
+    nat = fsst._native
+    for bm in (1, 3, 8, 32, 200):
+        monkeypatch.setattr(fsst, "_TRAIN_BATCH_MAX", bm)
+        for i, rb in enumerate(corpora):
+            try:
+                got_nat = fsst.train_with_residual(rb)
+                fsst._native = None
+                got_py = fsst.train_with_residual(rb)
+            finally:
+                fsst._native = nat
+            assert got_nat[0] == got_py[0], (
+                f"batch_max={bm} case {i}: trainer tables diverge"
+            )
+            assert got_nat[1] == got_py[1], (
+                f"batch_max={bm} case {i}: trainer residuals diverge"
+            )
+
+
 def test_decimal_codec_roundtrip():
     """DECIMAL(p<=18) rides the int path via exact unscaled-int64
     reinterpretation (parquet4s DecimalFormat.scala:21-123 parity);
