@@ -9,6 +9,9 @@ Iceberg jars, which aren't in this image):
                               them re-compressed would hide the ratio)
   <root>/manifest/            chunk rows sans payload (lineage + metrics:
                               codec, dict size, ratio, row counts, min/max)
+  <root>/salt_plan/           recorded skew plan (group -> bytes, n_salts):
+                              resume/append re-encodes reuse it instead of
+                              re-scanning the input for the size histogram
 
 The manifest is written AFTER the chunks, so its presence commits them —
 the analog of parquet4s's postWriteHandler checkpoint semantics
@@ -28,11 +31,12 @@ from pyspark.sql import types as T
 
 from . import fsio
 from .decoder import decode_table
-from .encoder import MANIFEST_COLS, encode_table, group_key_expr
+from .encoder import MANIFEST_COLS, encode_table, group_key_expr, plan_salts
 
 SCHEMA_FILE = "schema.json"
 CHUNKS_DIR = "chunks"
 MANIFEST_DIR = "manifest"
+SALT_PLAN_DIR = "salt_plan"
 
 
 def _write_schema(path: str, schema: T.StructType) -> None:
@@ -72,10 +76,34 @@ def write_encoded(
                 f"append schema mismatch: dataset has {existing.simpleString()}, "
                 f"got {df.schema.simpleString()}"
             )
+    # salted-group writes compute the salt plan HERE (one histogram
+    # pass) and persist it as a sidecar: resume/append re-encodes then
+    # reuse the recorded plan instead of paying a second full input
+    # scan, and the recorded salts make re-encode chunk identity a
+    # stored fact rather than a recomputation
+    group_cols = list(encode_kwargs.get("group_cols") or [])
+    plan = encode_kwargs.get("salt_plan")
+    own_plan = (
+        plan is None and bool(group_cols) and encode_kwargs.get("salted", True)
+    )
+    if own_plan:
+        plan, _total = plan_salts(
+            df,
+            group_cols,
+            encode_kwargs.get("target_group_bytes", 16 << 20),
+            with_total=True,
+        )
+        encode_kwargs["salt_plan"] = plan
     encoded = encode_table(df, **encode_kwargs).persist()
     try:
         _write_schema(path, df.schema)
         write_mode = "overwrite" if mode == "overwrite" else "append"
+        if plan is not None:
+            # the plan sidecar lands BEFORE the chunks: a write that
+            # crashes mid-chunk-job leaves the recorded plan behind, so
+            # the resume re-encode skips the histogram pass and
+            # reproduces the originally planned chunking exactly
+            plan.write.mode(write_mode).parquet(fsio.join(path, SALT_PLAN_DIR))
         (
             encoded.write.mode(write_mode)
             .option("compression", "uncompressed")
@@ -89,6 +117,8 @@ def write_encoded(
         manifest.write.mode(write_mode).parquet(manifest_path)
     finally:
         encoded.unpersist()
+        if own_plan:
+            plan.unpersist()
 
 
 def _committed_epoch_dirs(path: str) -> list[str]:
@@ -256,6 +286,7 @@ def resume_encode(
     spark = df.sparkSession
     manifest_path = fsio.join(path, MANIFEST_DIR)
     chunks_path = fsio.join(path, CHUNKS_DIR)
+    key_expr = group_key_expr(group_cols)
     if not fsio.exists(manifest_path):
         if fsio.exists(fsio.join(chunks_path, "_SUCCESS")):
             # crashed between chunk write and manifest commit: the chunk
@@ -268,29 +299,69 @@ def resume_encode(
                 *[c for c in MANIFEST_COLS if c in chunk_rows.columns]
             )
             manifest.write.mode("overwrite").parquet(manifest_path)
+            have_manifest = True  # fall through: anti-join verifies it
         else:
-            write_encoded(
-                df, path, mode="append", group_cols=group_cols, **encode_kwargs
-            )
-            return df.select(*group_cols).distinct().count()
-
-    committed = (
-        read_manifest(spark, path)
-        .select("group_key")
-        .distinct()
-        .withColumn("_gk", F.col("group_key"))
-        .drop("group_key")
-    )
-    key_expr = group_key_expr(group_cols)
-    # no broadcast hint: the committed-group set grows with the dataset
-    # (AQE broadcasts it at runtime whenever it fits)
-    pending = df.withColumn("_gk", key_expr).join(
-        committed, on="_gk", how="left_anti"
-    )
-    n_missing = pending.select(*group_cols).distinct().count()
-    if n_missing == 0:
-        return 0
-    write_encoded(
-        pending.drop("_gk"), path, mode="append", group_cols=group_cols, **encode_kwargs
-    )
-    return n_missing
+            have_manifest = False  # fresh restart: every group pending
+    else:
+        have_manifest = True
+    if not have_manifest:
+        pending = df.withColumn("_gk", key_expr)
+    else:
+        committed_keys = (
+            read_manifest(spark, path)
+            .select("group_key")
+            .distinct()
+            .withColumn("_gk", F.col("group_key"))
+            .drop("group_key")
+        )
+        # no broadcast hint: the committed-group set grows with the
+        # dataset (AQE broadcasts it at runtime whenever it fits)
+        pending = df.withColumn("_gk", key_expr).join(
+            committed_keys, on="_gk", how="left_anti"
+        )
+    pend_groups = pending.select(*group_cols).distinct().persist()
+    try:
+        n_missing = pend_groups.count()
+        if n_missing == 0:
+            return 0
+        # reuse the recorded salt plan: the resume encode then skips the
+        # size-histogram pass over the pending rows (at 100 TB that pass
+        # is itself a full read), and the recorded salts reproduce the
+        # originally planned chunking as a stored fact. Duplicate
+        # sidecar rows (an earlier crashed resume appended its slice
+        # again) collapse via a deterministic max — for a group with NO
+        # committed chunks any self-consistent plan yields correct,
+        # internally consistent chunks.
+        plan_path = fsio.join(path, SALT_PLAN_DIR)
+        if (
+            "salt_plan" not in encode_kwargs
+            and encode_kwargs.get("salted", True)
+            and not encode_kwargs.get("range_cols")
+            and fsio.exists(plan_path)
+        ):
+            recorded = spark.read.parquet(plan_path)
+            if {*group_cols, "_grp_bytes", "_n_salts"} <= set(recorded.columns):
+                plan = (
+                    recorded.join(pend_groups, on=group_cols, how="left_semi")
+                    .groupBy(*group_cols)
+                    .agg(
+                        F.max("_grp_bytes").alias("_grp_bytes"),
+                        F.max("_n_salts").alias("_n_salts"),
+                    )
+                    .persist()
+                )
+                # every pending group must be covered — a partial
+                # sidecar (legacy or clipped) falls back to re-planning
+                if plan.count() == n_missing:
+                    encode_kwargs["salt_plan"] = plan
+                else:
+                    plan.unpersist()
+        write_encoded(
+            pending.drop("_gk"), path, mode="append", group_cols=group_cols,
+            **encode_kwargs,
+        )
+        if "salt_plan" in encode_kwargs:
+            encode_kwargs["salt_plan"].unpersist()
+        return n_missing
+    finally:
+        pend_groups.unpersist()

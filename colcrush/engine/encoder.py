@@ -179,7 +179,51 @@ def _chunk_bloom(arr: pa.Array) -> "list[int] | None":
     return bloom_mod.build_bloom(lengths, blob)
 
 
-def _encode_chunk(
+_OUT_COLS = (
+    "chunk_id", "group_key", "salt", "seq", "column", "codec", "n_rows",
+    "n_nulls", "raw_bytes", "enc_bytes", "dict_size", "min_s", "max_s",
+    "min_d", "max_d", "bloom", "payload",
+)
+
+# target size for OUTPUT record batches: encoded rows of many chunks
+# are packed into one arrow batch before crossing back into the JVM —
+# a per-chunk 5-row batch costs 17 pa.array calls + one IPC frame per
+# chunk, pure overhead when groups (hence chunks) are small. Packaging
+# only: chunk ids, manifest rows, and payload bytes are unchanged.
+_OUT_BATCH_BYTES = 16 << 20
+
+
+def _new_out_rows() -> dict:
+    return {name: [] for name in _OUT_COLS}
+
+
+def _rows_to_batch(rows: dict) -> pa.RecordBatch:
+    return pa.record_batch(
+        [
+            pa.array(rows["chunk_id"], type=pa.string()),
+            pa.array(rows["group_key"], type=pa.string()),
+            pa.array(rows["salt"], type=pa.int32()),
+            pa.array(rows["seq"], type=pa.int64()),
+            pa.array(rows["column"], type=pa.string()),
+            pa.array(rows["codec"], type=pa.string()),
+            pa.array(rows["n_rows"], type=pa.int64()),
+            pa.array(rows["n_nulls"], type=pa.int64()),
+            pa.array(rows["raw_bytes"], type=pa.int64()),
+            pa.array(rows["enc_bytes"], type=pa.int64()),
+            pa.array(rows["dict_size"], type=pa.int64()),
+            pa.array(rows["min_s"], type=pa.string()),
+            pa.array(rows["max_s"], type=pa.string()),
+            pa.array(rows["min_d"], type=pa.float64()),
+            pa.array(rows["max_d"], type=pa.float64()),
+            pa.array(rows["bloom"], type=pa.list_(pa.int64())),
+            pa.array(rows["payload"], type=pa.binary()),
+        ],
+        names=list(_OUT_COLS),
+    )
+
+
+def _encode_chunk_into(
+    rows: dict,
     batches: list[pa.RecordBatch],
     group_key: str,
     salt: int,
@@ -188,13 +232,12 @@ def _encode_chunk(
     kernel_caches: dict | None = None,
     namespace: str = "",
     bloom_cols: "frozenset[str] | None" = None,
-) -> pa.RecordBatch:
+) -> int:
+    """Encode one chunk, appending its per-column rows to ``rows``;
+    returns the payload bytes added (output-batch sizing)."""
     tbl = pa.Table.from_batches(batches)
     cid = chunk_id_for(group_key, salt, seq, namespace)
-    rows = {name: [] for name in (
-        "chunk_id", "group_key", "salt", "seq", "column", "codec", "n_rows",
-        "n_nulls", "raw_bytes", "enc_bytes", "dict_size", "min_s", "max_s",
-        "min_d", "max_d", "bloom", "payload")}
+    added = 0
     for name in tbl.column_names:
         arr = tbl.column(name).combine_chunks()
         cache = None
@@ -222,28 +265,8 @@ def _encode_chunk(
             else None
         )
         rows["payload"].append(blob)
-    return pa.record_batch(
-        [
-            pa.array(rows["chunk_id"], type=pa.string()),
-            pa.array(rows["group_key"], type=pa.string()),
-            pa.array(rows["salt"], type=pa.int32()),
-            pa.array(rows["seq"], type=pa.int64()),
-            pa.array(rows["column"], type=pa.string()),
-            pa.array(rows["codec"], type=pa.string()),
-            pa.array(rows["n_rows"], type=pa.int64()),
-            pa.array(rows["n_nulls"], type=pa.int64()),
-            pa.array(rows["raw_bytes"], type=pa.int64()),
-            pa.array(rows["enc_bytes"], type=pa.int64()),
-            pa.array(rows["dict_size"], type=pa.int64()),
-            pa.array(rows["min_s"], type=pa.string()),
-            pa.array(rows["max_s"], type=pa.string()),
-            pa.array(rows["min_d"], type=pa.float64()),
-            pa.array(rows["max_d"], type=pa.float64()),
-            pa.array(rows["bloom"], type=pa.list_(pa.int64())),
-            pa.array(rows["payload"], type=pa.binary()),
-        ],
-        names=list(rows.keys()),
-    )
+        added += len(blob)
+    return added
 
 
 def _make_encode_fn(
@@ -275,17 +298,27 @@ def _make_encode_fn(
         seq = 0
         # per-(group,salt) trained-kernel reuse across that shard's chunks
         kernel_caches: dict = {}
+        # encoded rows accumulate across chunks into one output batch
+        # (see _OUT_BATCH_BYTES)
+        out_rows = _new_out_rows()
+        out_bytes = 0
 
         def flush():
-            nonlocal buf, buf_bytes, buf_rows, seq
+            """Encode the buffered chunk; returns an OUTPUT batch when
+            the accumulated encoded rows crossed the size target."""
+            nonlocal buf, buf_bytes, buf_rows, seq, out_bytes, out_rows
             if buf_rows:
-                out = _encode_chunk(
-                    buf, cur_key, cur_salt, seq, profile, kernel_caches,
-                    namespace, bloom_cols,
+                out_bytes += _encode_chunk_into(
+                    out_rows, buf, cur_key, cur_salt, seq, profile,
+                    kernel_caches, namespace, bloom_cols,
                 )
                 seq += 1
                 buf, buf_bytes, buf_rows = [], 0, 0
-                return out
+                if out_bytes >= _OUT_BATCH_BYTES:
+                    out = _rows_to_batch(out_rows)
+                    out_rows = _new_out_rows()
+                    out_bytes = 0
+                    return out
             return None
 
         for batch in it:
@@ -344,6 +377,8 @@ def _make_encode_fn(
         out = flush()
         if out is not None:
             yield out
+        if out_rows["chunk_id"]:
+            yield _rows_to_batch(out_rows)
 
     return fn
 
@@ -394,17 +429,22 @@ def plan_salts(
         e = F.coalesce(e, F.lit(0))
         size_expr = e if size_expr is None else size_expr + e
     sizes = df.groupBy(*group_cols).agg(F.sum(size_expr).alias("_grp_bytes"))
-    if with_total:
-        sizes = sizes.persist()
-        total = sizes.agg(F.sum("_grp_bytes")).collect()[0][0] or 0
+    # _grp_bytes stays in the plan: a persisted plan sidecar lets a
+    # later resume/append size its partitions (sum over the pending
+    # groups) without re-scanning the input
     out = sizes.select(
         *group_cols,
+        "_grp_bytes",
         F.greatest(
             F.lit(1),
             F.ceil(F.col("_grp_bytes") / F.lit(target_group_bytes)).cast("int"),
         ).alias("_n_salts"),
     )
-    return (out, int(total)) if with_total else out
+    if with_total:
+        out = out.persist()
+        total = out.agg(F.sum("_grp_bytes")).collect()[0][0] or 0
+        return out, int(total)
+    return out
 
 
 def encode_table(
@@ -421,6 +461,7 @@ def encode_table(
     namespace: str = "",
     unstable_order_ok: bool = False,
     bloom: "bool | Iterable[str]" = True,
+    salt_plan: "DataFrame | None" = None,
 ) -> DataFrame:
     """Encode ``df`` into the chunk table (ENCODED_DDL schema).
 
@@ -439,6 +480,15 @@ def encode_table(
     content for a built column is identical whether chosen by name or
     by auto-eligibility, so partition-count/resume chunk identity is
     unaffected by how the column was selected.
+
+    ``salt_plan``: a precomputed plan_salts() DataFrame (group_cols +
+    _grp_bytes + _n_salts). When given, the first-pass size histogram
+    over the input is SKIPPED — write_encoded persists the plan as a
+    dataset sidecar so resume/append re-encodes never pay a second full
+    input scan (at 100 TB the histogram pass is itself a full read).
+    The salts — and therefore every chunk id and byte — are pure
+    functions of the plan, so passing the recorded plan reproduces the
+    original chunking exactly.
 
     Layouts:
     - ``group_cols`` (default path): hash partition on (group, salt);
@@ -492,7 +542,16 @@ def encode_table(
         )
     if group_cols:
         if salted:
-            if num_partitions is None:
+            if salt_plan is not None:
+                salts = salt_plan
+                if num_partitions is None:
+                    total_bytes = int(
+                        salts.agg(F.sum("_grp_bytes")).collect()[0][0] or 0
+                    )
+                    num_partitions = max(
+                        cores, -(-total_bytes // TARGET_PARTITION_BYTES)
+                    )
+            elif num_partitions is None:
                 salts, total_bytes = plan_salts(
                     df, group_cols, target_group_bytes, with_total=True
                 )
@@ -501,7 +560,11 @@ def encode_table(
                 )
             else:
                 salts = plan_salts(df, group_cols, target_group_bytes)
-            df = df.join(F.broadcast(salts), on=group_cols, how="left")
+            df = df.join(
+                F.broadcast(salts.select(*group_cols, "_n_salts")),
+                on=group_cols,
+                how="left",
+            )
             df = df.withColumn(key_col, sort_key)
             df = df.withColumn(
                 salt_col,

@@ -271,3 +271,44 @@ def test_filtered_min_max_early_termination(spark, tmp_path):
         .collect()[0]
     )
     assert (mn2, mx2) == (want[0], want[1])
+
+
+def test_resume_reuses_recorded_salt_plan(spark, src, tmp, monkeypatch):
+    """The salt plan sidecar lands BEFORE the chunks, so a write that
+    crashed mid-chunk-job leaves the plan behind; the resume re-encode
+    must REUSE it — no second size-histogram pass over the input (at
+    100 TB the histogram is itself a full read) — and produce chunks
+    byte-identical to an uncrashed encode."""
+    import colcrush.engine.encoder as enc_mod
+    from colcrush.engine.dataset import CHUNKS_DIR, SALT_PLAN_DIR
+
+    tmp2 = tmp + "_full"
+    write_encoded(src, tmp2, group_cols=["repo", "lang"])
+
+    write_encoded(src, tmp, group_cols=["repo", "lang"])
+    assert os.path.isdir(os.path.join(tmp, SALT_PLAN_DIR))
+    # simulate the crash window: chunk job died mid-write (no chunks,
+    # no manifest), the plan sidecar survives
+    shutil.rmtree(os.path.join(tmp, CHUNKS_DIR))
+    shutil.rmtree(os.path.join(tmp, "manifest"))
+
+    def _boom(*a, **k):
+        raise AssertionError("plan_salts must not run during resume")
+
+    monkeypatch.setattr(enc_mod, "plan_salts", _boom)
+    # dataset.write_encoded imported plan_salts by name too
+    import colcrush.engine.dataset as ds_mod
+
+    monkeypatch.setattr(ds_mod, "plan_salts", _boom)
+    assert resume_encode(src, tmp, group_cols=["repo", "lang"]) > 0
+    monkeypatch.undo()
+
+    a = read_manifest(spark, tmp).select("chunk_id", "column", "enc_bytes", "n_rows")
+    b = read_manifest(spark, tmp2).select("chunk_id", "column", "enc_bytes", "n_rows")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # a resume that ADDS groups the sidecar does not cover must fall
+    # back to planning those groups (coverage check), not mis-salt them
+    more = src.withColumn("lang", F.concat(F.col("lang"), F.lit("_x")))
+    assert resume_encode(src.unionAll(more), tmp, group_cols=["repo", "lang"]) > 0
+    assert read_decoded(spark, tmp).count() == src.count() * 2
