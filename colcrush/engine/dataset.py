@@ -333,6 +333,7 @@ def resume_encode(
         # committed chunks any self-consistent plan yields correct,
         # internally consistent chunks.
         plan_path = fsio.join(path, SALT_PLAN_DIR)
+        own_restricted_plan = False
         if (
             "salt_plan" not in encode_kwargs
             and encode_kwargs.get("salted", True)
@@ -354,13 +355,15 @@ def resume_encode(
                 # sidecar (legacy or clipped) falls back to re-planning
                 if plan.count() == n_missing:
                     encode_kwargs["salt_plan"] = plan
+                    own_restricted_plan = True
                 else:
                     plan.unpersist()
         write_encoded(
             pending.drop("_gk"), path, mode="append", group_cols=group_cols,
             **encode_kwargs,
         )
-        if "salt_plan" in encode_kwargs:
+        if own_restricted_plan:
+            # only the plan WE built here — never a caller-provided one
             encode_kwargs["salt_plan"].unpersist()
         return n_missing
     finally:
