@@ -281,7 +281,10 @@ def _leaf_condition(f) -> "F.Column":
     if op == ">=":
         return c >= F.lit(val)
     if op == "in":
-        return c.isin(list(val))
+        # a scalar literal means a one-element set — list('abc') would
+        # silently explode a string into characters
+        vals = list(val) if isinstance(val, (list, tuple, set)) else [val]
+        return c.isin(vals)
     if op == "is_null":
         return c.isNull()
     if op == "not_null":
@@ -298,28 +301,7 @@ def _residual_condition(filters: list[tuple]) -> "F.Column":
                 branch = branch | _leaf_condition(leaf)
             cond = cond & branch
             continue
-        col, op, val = (tuple(f) + (None,))[:3]
-        c = F.col(col)
-        if op == "==":
-            cond = cond & (c == F.lit(val))
-        elif op == "!=":
-            cond = cond & (c != F.lit(val))
-        elif op == "<":
-            cond = cond & (c < F.lit(val))
-        elif op == "<=":
-            cond = cond & (c <= F.lit(val))
-        elif op == ">":
-            cond = cond & (c > F.lit(val))
-        elif op == ">=":
-            cond = cond & (c >= F.lit(val))
-        elif op == "in":
-            cond = cond & c.isin(list(val))
-        elif op == "is_null":
-            cond = cond & c.isNull()
-        elif op == "not_null":
-            cond = cond & c.isNotNull()
-        else:
-            raise ValueError(f"unsupported op {op}")
+        cond = cond & _leaf_condition(f)
     return cond
 
 
