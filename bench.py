@@ -274,9 +274,10 @@ def main():
     # corpus is encoded once, probed forever): build it untimed so
     # scan_bloom_point measures the probe + pruned decode, not the
     # fixture encode (round-4 judge item)
-    from colcrush.queries import bloom_fixture_paths
+    from colcrush.queries import bloom_fixture_paths, bloom_lookup_targets
 
     bloom_fixture_paths(spark, sf_dir)
+    bloom_lookup_targets(spark, sf_dir)
 
     queries = {}
     for name in HEADLINE:
@@ -291,16 +292,7 @@ def main():
     from colcrush.engine.scan import pruned_chunk_count
 
     cust_path, orders_path = bloom_fixture_paths(spark, sf_dir)
-    names = [
-        r[0]
-        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
-        .select("c_name").orderBy("c_name").limit(3).collect()
-    ]
-    okeys = [
-        int(r[0])
-        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select("o_orderkey").orderBy("o_orderkey").limit(3).collect()
-    ]
+    names, okeys = bloom_lookup_targets(spark, sf_dir)
     s_surv, s_total = pruned_chunk_count(
         spark, cust_path, [("c_name", "in", names)]
     )
