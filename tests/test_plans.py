@@ -115,3 +115,27 @@ def test_record_filter_no_global_window(spark):
     p = _plan(QUERIES["record_filter"](spark, SF))
     assert "Exchange SinglePartition" not in p, "global single-task window"
     assert "Window" in p  # partition-local window still present
+
+
+def test_encode_with_salt_plan_scans_input_once(spark, tmp_path):
+    """With a recorded salt plan, the encode plan must read the INPUT
+    exactly once (the broadcast build side scans the tiny plan, not a
+    second histogram aggregation over the input) — the property that
+    makes sidecar-reusing resume a one-pass job at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from colcrush.engine.encoder import plan_salts
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan_df = plan_salts(df, ["lang"], 16 << 20)
+    pq = str(tmp_path / "plan")
+    plan_df.write.parquet(pq)
+    recorded = spark.read.parquet(pq)
+    p = (
+        encode_table(df, group_cols=["lang"], salt_plan=recorded,
+                     num_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("documents.parquet") == 1, p[:2000]
+    data_side = p.split("BroadcastExchange")[0]
+    assert data_side.count("Exchange hashpartitioning") == 1, p[:2000]
