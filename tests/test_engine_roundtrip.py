@@ -246,3 +246,36 @@ def test_rescale_decimal_widening_fast_path():
     nar = _rescale_decimal(arr, 10, 1)
     assert nar.to_pylist()[0] == dec.Decimal("1234567.9")
     assert nar.to_pylist()[1] == dec.Decimal("0.0")
+
+
+def test_chunk_identity_independent_of_arrow_batch_size(spark):
+    """Row-cap chunk boundaries are a pure function of row position
+    within the (group, salt) run — NOT of arrow batch segmentation
+    (pre-r5 a run inside one batch became one oversized chunk, so
+    spark.sql.execution.arrow.maxRecordsPerBatch leaked into chunk
+    identity). Same input, two batch sizes, identical manifests."""
+    import pyspark.sql.functions as F
+
+    from colcrush.engine import encode_table
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    )
+
+    def manifest(batch_rows):
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", batch_rows)
+        try:
+            enc = encode_table(
+                df, group_cols=["c_mktsegment"], target_chunk_rows=17
+            )
+            return sorted(
+                (r["chunk_id"], r["column"], r["n_rows"], bytes(r["payload"]))
+                for r in enc.collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    a = manifest(23)   # batches smaller than and misaligned with runs
+    b = manifest(10000)
+    assert a == b
