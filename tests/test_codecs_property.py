@@ -270,3 +270,73 @@ def test_rescale_vectorized_matches_scalar_reference(values, target, offset):
         got = rescale_decimal128(arr, precision, scale)
         assert got.type == expected.type
         assert got.to_pylist() == expected.to_pylist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=1, max_value=60),
+)
+def test_encode_fn_chunk_cut_properties(group_sizes, cap, batch_rows):
+    """The worker's cut loop, fuzzed Spark-free: for any group layout,
+    row cap, and arrow batch segmentation — (a) chunks partition the
+    rows in order, (b) no chunk exceeds the row cap, (c) every chunk
+    holds one (group, salt), and (d) the chunking is IDENTICAL for any
+    batch segmentation of the same row stream (the r5 invariant)."""
+    import pyarrow as pa
+
+    from colcrush.engine.encoder import _make_encode_fn
+
+    rows_g, rows_v = [], []
+    for gi, n in enumerate(group_sizes):
+        rows_g += [f"g{gi}"] * n
+        rows_v += [f"v{gi}_{j}" for j in range(n)]
+    n_total = len(rows_g)
+
+    def batches(step):
+        out = []
+        for s in range(0, n_total, step):
+            e = min(n_total, s + step)
+            out.append(
+                pa.record_batch(
+                    [
+                        pa.array(rows_v[s:e]),
+                        pa.array([0] * (e - s), type=pa.int32()),
+                        pa.array(rows_g[s:e]),
+                    ],
+                    names=["val", "__salt", "__groupkey"],
+                )
+            )
+        return out
+
+    def chunks(step):
+        fn = _make_encode_fn(
+            ["g"], 1 << 30, cap, "balanced", "__salt", "__groupkey"
+        )
+        out = []
+        for b in fn(iter(batches(step))):
+            for i in range(b.num_rows):
+                out.append(
+                    (
+                        b.column("group_key")[i].as_py(),
+                        b.column("seq")[i].as_py(),
+                        b.column("n_rows")[i].as_py(),
+                    )
+                )
+        return sorted(out)
+
+    a = chunks(batch_rows)
+    assert sum(n for _, _, n in a) == n_total          # (a) partition
+    assert all(n <= cap for _, _, n in a)              # (b) cap
+    per_group = {}
+    for g, seq, n in a:
+        per_group.setdefault(g, []).append((seq, n))
+    for gi, gsize in enumerate(group_sizes):           # (c) + exact cuts
+        got = sorted(per_group[f"g{gi}"])
+        assert [s for s, _ in got] == list(range(len(got)))
+        assert [n for _, n in got] == [cap] * (gsize // cap) + (
+            [gsize % cap] if gsize % cap else []
+        )
+    assert a == chunks(max(1, n_total))                # (d) batch-invariant
+    assert a == chunks(3)
