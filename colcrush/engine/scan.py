@@ -305,6 +305,30 @@ def _residual_condition(filters: list[tuple]) -> "F.Column":
     return cond
 
 
+def _alive_chunk_ids(
+    manifest: DataFrame, filters: list[tuple], with_bloom: bool
+) -> DataFrame:
+    """chunk_ids that MIGHT match every conjunct, in ONE aggregation
+    pass over the manifest: per chunk, each conjunct needs SOME stats
+    row admitting a match (max-of-indicator ≡ EXISTS). The previous
+    shape — one left-semi join per conjunct — shuffled the manifest k
+    times for k conjuncts; at 100 TB the manifest is ~10^7 rows, so
+    this is the difference between one exchange and k."""
+    if not filters:
+        return manifest.select("chunk_id").distinct()
+    aggs = [
+        F.max(
+            F.when(_conjunct_manifest_expr(f, with_bloom), 1).otherwise(0)
+        ).alias(f"_c{i}")
+        for i, f in enumerate(filters)
+    ]
+    alive = manifest.groupBy("chunk_id").agg(*aggs)
+    cond = F.lit(True)
+    for i in range(len(filters)):
+        cond = cond & (F.col(f"_c{i}") == 1)
+    return alive.where(cond).select("chunk_id")
+
+
 def scan(
     spark: SparkSession,
     path: str,
@@ -330,13 +354,7 @@ def scan(
         # bloom-assisted pruning only when the manifest carries the
         # column (datasets written before it existed scan unchanged)
         wb = "bloom" in manifest.columns
-        alive = manifest
-        for f in filters:
-            cond_df = manifest.where(
-                _conjunct_manifest_expr(f, with_bloom=wb)
-            ).select("chunk_id")
-            alive = alive.join(cond_df, on="chunk_id", how="left_semi")
-        alive_ids = alive.select("chunk_id").distinct()
+        alive_ids = _alive_chunk_ids(manifest, filters, wb)
         # no broadcast hint: the surviving-chunk set is unbounded at
         # 100 TB (~10^7 ids); AQE converts to broadcast when it IS small
         chunks = chunks.join(alive_ids, on="chunk_id", how="left_semi")
@@ -381,12 +399,7 @@ def filtered_min_max(
     _check_filter_types(schema, filters)
     manifest = read_manifest(spark, path)
     wb = "bloom" in manifest.columns
-    alive = manifest.select("chunk_id").distinct()
-    for f in filters:
-        cond_df = manifest.where(
-            _conjunct_manifest_expr(f, with_bloom=wb)
-        ).select("chunk_id")
-        alive = alive.join(cond_df, on="chunk_id", how="left_semi")
+    alive = _alive_chunk_ids(manifest, filters, wb)
     # stats rows of the target column for surviving chunks — stays a
     # DataFrame (12.5M chunks at 100 TB never land on the driver)
     stats = (
@@ -467,15 +480,7 @@ def pruned_chunk_count(
     manifest = read_manifest(spark, path)
     wb = "bloom" in manifest.columns
     total = manifest.select("chunk_id").distinct().count()
-    alive = manifest.select("chunk_id").distinct()
-    for f in filters:
-        cond_df = (
-            manifest.where(_conjunct_manifest_expr(f, with_bloom=wb))
-            .select("chunk_id")
-            .distinct()
-        )
-        alive = alive.join(cond_df, on="chunk_id", how="left_semi")
-    return alive.count(), total
+    return _alive_chunk_ids(manifest, filters, wb).count(), total
 
 
 def _filter_cols(f) -> set[str]:
