@@ -549,18 +549,26 @@ def dup_clusters(
         # smaller neighbors (and the node itself) attach to the
         # neighborhood minimum mn (< a, so emitted pairs are canonical)
         mins2 = large.groupBy("a").agg(F.min("b").alias("mn"))
-        new_edges, new_ids = _checkpoint(
+        # LAZY checkpoint: the fixpoint aggregate below is the round's
+        # first action, so it materializes the checkpoint blocks in the
+        # same job — an eager checkpoint would run one extra full pass
+        # per round just to pin the blocks
+        before_ids = _pinned_ids()
+        new_edges = (
             large.join(mins2, "a")
             .select(F.col("b").alias("a"), F.col("mn").alias("b"))
             .union(mins2.select(F.col("a"), F.col("mn").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
+            .localCheckpoint(eager=False)
         )
         # fixpoint test on the canonical edge SET: same cardinality and
         # checksum (ONE scalar action; both reuse the previous round's
-        # values), then — only when both match — the definitive empty
-        # one-sided difference
+        # values — and it doubles as the checkpoint materialization),
+        # then — only when both match — the definitive empty one-sided
+        # difference
         new_count, new_sig = _edge_sig(new_edges)
+        new_ids = _pinned_ids() - before_ids
         same = (
             new_count == edge_count
             and new_sig == edge_sig
