@@ -94,8 +94,12 @@ def write_encoded(
             with_total=True,
         )
         encode_kwargs["salt_plan"] = plan
-    encoded = encode_table(df, **encode_kwargs).persist()
+    encoded = None
     try:
+        # encode_table sits inside the try: if it raises (unknown bloom
+        # column, unsortable group cols, ...) the persisted salt-plan
+        # histogram must still be released
+        encoded = encode_table(df, **encode_kwargs).persist()
         _write_schema(path, df.schema)
         write_mode = "overwrite" if mode == "overwrite" else "append"
         if plan is not None:
@@ -116,7 +120,8 @@ def write_encoded(
         manifest = encoded.select(*MANIFEST_COLS)
         manifest.write.mode(write_mode).parquet(manifest_path)
     finally:
-        encoded.unpersist()
+        if encoded is not None:
+            encoded.unpersist()
         if own_plan:
             plan.unpersist()
 

@@ -223,7 +223,7 @@ def _chunk_survives(filt: tuple, with_bloom: bool = False) -> "F.Column":
     # to "can't prune")
     sample = (
         next(iter(val))
-        if op == "in" and isinstance(val, (list, tuple, set)) and len(val)
+        if op == "in" and isinstance(val, (list, tuple, set, frozenset)) and len(val)
         else val
     )
     if isinstance(sample, (int, float)) and not isinstance(sample, bool):
@@ -249,7 +249,7 @@ def _chunk_survives(filt: tuple, with_bloom: bool = False) -> "F.Column":
         keep = mx >= lit(val)
     elif op == "in":
         keep = F.lit(False)
-        for v in val if isinstance(val, (list, tuple, set)) else [val]:
+        for v in val if isinstance(val, (list, tuple, set, frozenset)) else [val]:
             branch = (mn <= lit(v)) & (mx >= lit(v))
             if with_bloom:
                 branch = branch & ~_bloom_excludes(v)
@@ -283,7 +283,7 @@ def _leaf_condition(f) -> "F.Column":
     if op == "in":
         # a scalar literal means a one-element set — list('abc') would
         # silently explode a string into characters
-        vals = list(val) if isinstance(val, (list, tuple, set)) else [val]
+        vals = list(val) if isinstance(val, (list, tuple, set, frozenset)) else [val]
         return c.isin(vals)
     if op == "is_null":
         return c.isNull()
@@ -509,7 +509,7 @@ def _check_filter_types(schema, filters: list[tuple]) -> None:
         dt = kinds.get(col)
         if dt is None:
             return  # unknown columns raise downstream with a clearer message
-        vals = val if isinstance(val, (list, tuple, set)) else [val]
+        vals = val if isinstance(val, (list, tuple, set, frozenset)) else [val]
         for v in vals:
             if isinstance(v, bool):
                 ok = isinstance(dt, T.BooleanType)

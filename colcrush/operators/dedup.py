@@ -290,13 +290,25 @@ def simhash_signatures(
 
 def simhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
-    hash: str = "xxhash64",
+    hash: str = "xxhash64", max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 4x16-bit segment blocking (a pair
     within hamming<=3 must agree on >=1 of 4 segments — pigeonhole, so
     blocking is COMPLETE for max_hamming < 4), exact popcount verify
     via bit_count(xor) — all JVM-side. ``hash`` as in
-    simhash_signatures (xxhash64 production / md5 oracle)."""
+    simhash_signatures (xxhash64 production / md5 oracle).
+
+    ``max_bucket_df`` caps the document frequency of a (segment, value)
+    bucket: keys shared by more docs than the cap are dropped from
+    candidate generation, mirroring ``ngram_jaccard_pairs(max_df=)``.
+    Without it a degenerate corpus (billions of near-empty docs whose
+    signatures share a zero 16-bit block) makes one bucket quadratic —
+    AQE skew split shares the work across executors but cannot shrink
+    the O(b^2) pair count itself. RECALL CAVEAT: capping weakens the
+    pigeonhole completeness guarantee — a true pair whose EVERY
+    agreeing segment lives in an over-cap bucket is missed. Pairs keep
+    exact hamming distances either way (the verify step is unchanged),
+    so the cap only costs recall, never precision."""
     sigs = simhash_signatures(df, id_col, text_col, hash=hash).localCheckpoint()
     seg_keys = F.array(
         *[
@@ -309,6 +321,14 @@ def simhash_dedup_pairs(
         F.col("simhash").alias("_sh"),
         F.posexplode(seg_keys).alias("_seg", "_key"),
     )
+    if max_bucket_df is not None:
+        rare = (
+            buckets.groupBy("_seg", "_key")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_bucket_df)
+            .select("_seg", "_key")
+        )
+        buckets = buckets.join(rare, on=["_seg", "_key"], how="left_semi")
     l, r = buckets.alias("l"), buckets.alias("r")
     cands = (
         l.join(
@@ -447,6 +467,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components over duplicate pairs: (doc_id, cluster)
     where cluster = the smallest doc id reachable through any chain of
@@ -474,6 +495,18 @@ def dup_clusters(
     checksum gating a definitive empty set-difference) is scalar
     actions, never a collect of data.
 
+    ``reliable=True`` swaps every lineage-truncating checkpoint for a
+    fault-tolerant ``df.checkpoint()`` against the context's checkpoint
+    dir (``sc.setCheckpointDir`` — HDFS/object store on a real
+    cluster). localCheckpoint (the fast default) stores NON-REPLICATED
+    blocks in executor memory/disk: at 100 TB one preempted executor
+    mid-fixpoint kills the lineage-truncated job, while reliable
+    checkpoint files survive any executor loss at the cost of a
+    write+read through the checkpoint FS per round. Checkpoint files
+    are cleaned by Spark when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (else
+    they age out with the directory).
+
     Returns one row per node that appears in ``pairs``; singleton
     documents (no dup edges) are implicitly their own cluster. Ids keep
     their input type (string/UUID ids cluster as well as ints — an
@@ -484,6 +517,14 @@ def dup_clusters(
     clusters and keep extra duplicate keepers).
     """
     sc = pairs.sparkSession.sparkContext
+    if reliable and sc.getCheckpointDir() is None:
+        raise ValueError(
+            "dup_clusters(reliable=True) needs a fault-tolerant "
+            "checkpoint directory: call "
+            "spark.sparkContext.setCheckpointDir('<hdfs-or-shared-path>') "
+            "first (localCheckpoint blocks die with their executor; the "
+            "reliable mode exists precisely to survive that)"
+        )
 
     def _pinned_ids() -> set:
         return set(sc._jsc.getPersistentRDDs().keySet().toArray())
@@ -497,7 +538,7 @@ def dup_clusters(
 
     def _checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
         before = _pinned_ids()
-        out = df.localCheckpoint()
+        out = df.checkpoint() if reliable else df.localCheckpoint()
         return out, _pinned_ids() - before
 
     def _edge_sig(df: DataFrame) -> tuple[int, "int | None"]:
@@ -560,7 +601,11 @@ def dup_clusters(
             .union(mins2.select(F.col("a"), F.col("mn").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=False)
+        )
+        new_edges = (
+            new_edges.checkpoint(eager=False)
+            if reliable
+            else new_edges.localCheckpoint(eager=False)
         )
         # fixpoint test on the canonical edge SET: same cardinality and
         # checksum (ONE scalar action; both reuse the previous round's

@@ -306,3 +306,18 @@ def test_int_inset_pruning(spark, tmp_path):
         spark, path, [("o_orderkey", "in", [keys[0] + 7777777, -5])]
     )
     assert surv0 == 0
+
+    # frozenset literals take the same path as list/tuple/set (r5 made
+    # scalar 'in' values one-element sets, which regressed frozensets
+    # into F.lit(frozenset) analysis errors — ADVICE r5)
+    got_fs = scan(
+        spark, path, columns=["o_orderkey", "o_custkey"],
+        filters=[("o_orderkey", "in", frozenset(keys))],
+    )
+    assert sorted(map(tuple, got_fs.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    surv_fs, _ = pruned_chunk_count(
+        spark, path, [("o_orderkey", "in", frozenset(keys))]
+    )
+    assert surv_fs == surv

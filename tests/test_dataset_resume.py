@@ -47,6 +47,19 @@ def test_write_create_mode_refuses_overwrite(spark, src, tmp):
     write_encoded(src, tmp, mode="overwrite", group_cols=["repo", "lang"])
 
 
+def test_failed_encode_releases_salt_plan(spark, src, tmp):
+    """If encode_table raises after the salt-plan histogram was
+    persisted (unknown bloom column here), write_encoded must unpersist
+    the plan on the error path — a leaked persisted DataFrame eats
+    executor storage for the session's lifetime (ADVICE r5)."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    with pytest.raises(ValueError, match="not in the input"):
+        write_encoded(src, tmp, group_cols=["repo", "lang"], bloom=["nope"])
+    leaked = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert not leaked
+
+
 def test_read_decoded_matches_source(spark, src, tmp):
     write_encoded(src, tmp, group_cols=["repo", "lang"])
     dec = read_decoded(spark, tmp)

@@ -107,6 +107,33 @@ def test_simhash_finds_near_dups(spark, docs):
     assert (0, 3) not in found and (0, 4) not in found
 
 
+def test_simhash_max_bucket_df_kills_hot_buckets(spark):
+    """Adversarial hot-bucket corpus: hundreds of byte-identical docs
+    share every 16-bit signature block, so uncapped blocking would
+    enumerate O(n^2) candidate pairs from one bucket. max_bucket_df
+    drops the over-cap (segment, value) keys from candidate generation
+    while rare buckets — and therefore distinctive near-dup pairs —
+    survive untouched."""
+    from colcrush.operators.dedup import simhash_dedup_pairs
+
+    clones = [(i, "aa bb aa bb aa") for i in range(400)]
+    planted = [
+        (1000, "the quick brown fox jumps over the lazy dog tonight"),
+        (1001, "the quick brown fox jumps over the lazy dog tonite"),
+    ]
+    docs = spark.createDataFrame(clones + planted, "doc_id long, text string")
+    capped = simhash_dedup_pairs(
+        docs, "doc_id", "text", max_hamming=6, max_bucket_df=10
+    ).collect()
+    found = {(r["a"], r["b"]) for r in capped}
+    # the clone flood is entirely suppressed (every one of its buckets
+    # has df=400 > 10) instead of producing ~80k candidate pairs...
+    assert not any(a < 1000 and b < 1000 for a, b in found)
+    # ...while the planted near-dup pair lives in df=2 buckets and is
+    # still caught with its exact hamming distance
+    assert (1000, 1001) in found
+
+
 def test_ngram_jaccard_exact(spark, docs):
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
     rows = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
@@ -394,6 +421,39 @@ def test_dup_clusters_direction_and_duplicates(spark):
     )
     got = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 3: 1, 5: 1, 7: 1}
+
+
+def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """reliable=True swaps localCheckpoint for fault-tolerant
+    df.checkpoint() (survives executor loss at 100 TB): clusters must
+    be identical under both modes, and the knob must refuse to run
+    without a checkpoint dir rather than fail deep inside round 1."""
+    import pytest
+
+    from colcrush.operators.dedup import dup_clusters
+
+    edges = (
+        [(i, i + 1) for i in range(1, 12)]
+        + [(20, 21), (21, 22), (22, 20)]
+        + [(30, 31)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            dup_clusters(pairs, reliable=True)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    fast = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
+    durable = {
+        r["doc_id"]: r["cluster"]
+        for r in dup_clusters(pairs, reliable=True).collect()
+    }
+    assert fast == durable
+    assert durable == (
+        {i: 1 for i in range(1, 13)}
+        | {20: 20, 21: 20, 22: 20}
+        | {30: 30, 31: 30}
+    )
 
 
 def test_deterministic_sample(spark):
