@@ -720,12 +720,16 @@ def q_winnow_fingerprints_fast(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """Multimodal plumbing: synthesized media -> deterministic feature
-    extraction over mapInPandas (decode stage stubbed per mandate)."""
+    """Multimodal: synthesized media with REAL decodable image payloads
+    (PPM/BMP, pure-numpy decoder) -> pixel-statistic features over
+    mapInPandas; audio/video payloads go through the documented
+    codec-free byte-histogram fallback. Rows-only slot (features are
+    float vectors — no SQL oracle), but the decode is no longer a
+    stub."""
     from .functions.multimodal import extract_features, synthesize_media_df
 
-    media = synthesize_media_df(spark, 64)
-    feats = extract_features(media, dim=8, fake=True)
+    media = synthesize_media_df(spark, 64, real_payloads=True)
+    feats = extract_features(media, dim=8, fake=False)
     return feats.select("media_id", "kind", F.size("features").alias("dim"))
 
 
@@ -1277,8 +1281,9 @@ SELECT c.doc_id AS doc_id,
 FROM corp c LEFT JOIN ref r ON c.tok = r.tok
 GROUP BY c.doc_id
 """,
-    # rows-only (no oracle): multimodal_features (mandated media-decode
-    # stub) and the *_fast twins of simhash_dedup / winnow_fingerprints
+    # rows-only (no oracle): multimodal_features (real PPM/BMP decode to
+    # float pixel statistics — no SQL-expressible oracle for the image
+    # parse) and the *_fast twins of simhash_dedup / winnow_fingerprints
     # (xxhash64 is Spark-native, not ANSI-SQL-expressible — the md5
     # twins are the oracle-checked variants and tests pin that both
     # hash modes induce the same near-dup structure on the fixture)

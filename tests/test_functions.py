@@ -84,10 +84,71 @@ def test_multimodal_plumbing(spark):
     assert plan.where(F.col("media_id") == 2).count() > 0
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
-    media = synthesize_media_df(spark, 2)
-    with pytest.raises(Exception):
-        extract_features(media, fake=False).collect()
+def test_image_codec_roundtrips():
+    """PPM and BMP encode/decode are exact inverses on arbitrary RGB
+    tiles, including non-multiple-of-4 widths (BMP row padding) and a
+    PPM header carrying comments."""
+    import numpy as np
+
+    from colcrush.functions.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (3, 5), (7, 6), (16, 13)]:
+        pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_ppm(pix)), pix)
+        assert np.array_equal(decode_image(encode_bmp(pix)), pix)
+    # PPM comments between header tokens are part of the public format
+    pix = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    commented = b"P6\n# a comment\n3 2\n# another\n255\n" + pix.tobytes()
+    assert np.array_equal(decode_image(commented), pix)
+    # unknown magic fails loudly, never returns garbage pixels
+    with pytest.raises(ValueError, match="unsupported image format"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+    # truncated raster fails loudly too
+    with pytest.raises(ValueError, match="shorter"):
+        decode_image(encode_ppm(pix)[:-2])
+
+
+def test_multimodal_real_decode(spark):
+    """fake=False runs the REAL path end-to-end through mapInPandas:
+    image payloads (PPM/BMP alternating) decode to pixels and pool to
+    deterministic statistics; audio/video get byte-histogram features."""
+    import numpy as np
+
+    from colcrush.functions.multimodal import (
+        _synth_image,
+        image_features,
+    )
+
+    media = synthesize_media_df(spark, 30, real_payloads=True)
+    rows = extract_features(media, dim=8, fake=False).collect()
+    assert len(rows) == 30 and all(len(r["features"]) == 8 for r in rows)
+    by_id = {r["media_id"]: r for r in rows}
+    # cross-check one image row against a driver-side decode of the
+    # same deterministic tile (id 6 -> PPM, id 3 -> BMP)
+    for i in (6, 3):
+        w = (i % 5) * 4 + 4
+        h = (i % 4) * 4 + 4
+        exp = image_features(_synth_image(i, w, h), dim=8)
+        got = np.array(by_id[i]["features"], dtype=np.float32)
+        assert np.allclose(got, exp, atol=1e-6), (i, got, exp)
+    # features are real pixel statistics: histogram+means sum to a
+    # plausible bounded range, not hash noise
+    assert all(0.0 <= f <= 1.0 for f in by_id[6]["features"][:3])
+    # determinism across runs
+    again = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, dim=8, fake=False).collect()
+    }
+    assert again == {r["media_id"]: r["features"] for r in rows}
+    # non-image payloads went through the codec-free byte histogram:
+    # normalized, sums to ~1
+    aud = by_id[1]["features"]
+    assert abs(sum(aud) - 1.0) < 1e-5
 
 
 def test_inmemory_parquet_roundtrip():
