@@ -107,6 +107,24 @@ static int colcrush_cand_cmp(const void *a, const void *b) {
     return (qa > qb) ? 1 : (qa < qb) ? -1 : 0;
 }
 
+/* Increment a pair counter, recording first-ever-nonzero pairs in the
+   touched list. The candidate scan then iterates ONLY touched pairs
+   instead of all 65536 counters each round — for small shard samples
+   the full scan was ~90% of training time (measured: ~2.5 ms fixed
+   cost per train regardless of sample size). EXACTLY equivalent: a
+   candidate needs count >= floor_count >= 1, every pair whose count
+   was ever incremented is in the list (decrements can't create
+   candidates), the bitmap keeps entries unique, and qsort's total
+   order (count desc, pair asc; pairs unique) is scan-order-independent
+   — so selection, table, and residual stay byte-identical. */
+#define COLCRUSH_TOUCH(p) do { \
+        if (!(seenbm[(p) >> 3] & (unsigned char)(1u << ((p) & 7)))) { \
+            seenbm[(p) >> 3] |= (unsigned char)(1u << ((p) & 7)); \
+            touched[ntouched++] = (unsigned short)(p); \
+        } \
+        counts[p]++; \
+    } while (0)
+
 long colcrush_train(unsigned char *buf, long *pn, const unsigned char *free_codes,
                     long n_free, long floor_count, double scale,
                     long min_gain, long max_symbols, long batch_max,
@@ -114,24 +132,37 @@ long colcrush_train(unsigned char *buf, long *pn, const unsigned char *free_code
     long n = *pn;
     long nsym = 0;
     long round = 0;
-    short map[65536];
-    unsigned char active[256]; /* fast path: is byte the FIRST of a selected pair */
+    /* Per-round selected-pair lookup. Alphabet-disjointness guarantees
+       each byte value is the FIRST byte of at most one selected pair,
+       so three 256-byte tables (L1-resident) replace the earlier
+       128 KiB pair->code map whose lookups missed L1 on every active
+       byte — the replace pass is the byte-proportional bulk of
+       training time. */
+    unsigned char active[256];    /* is byte the FIRST of a selected pair */
+    unsigned char second_of[256]; /* that pair's second byte */
+    unsigned char code_of[256];   /* that pair's replacement code */
     long set_pairs[64];
     if (batch_max > 64) /* hard bound: set_pairs capacity */
         batch_max = 64;
-    long cand[65536]; /* 512 KiB stack — well under worker stack caps */
+    long cand[65536];          /* 512 KiB */
+    unsigned short touched[65536]; /* 128 KiB: pairs ever counted */
+    unsigned char seenbm[8192];    /* 8 KiB bitmap over pair ids */
+    long ntouched = 0;         /* ~780 KiB stack total — well under worker caps */
     memset(counts, 0, 65536 * sizeof(int));
-    for (long i = 0; i + 1 < n; i++)
-        counts[((unsigned)buf[i] << 8) | buf[i + 1]]++;
-    memset(map, 0xFF, sizeof(map)); /* all -1; cleared selectively below */
-    memset(active, 0, sizeof(active));
+    memset(seenbm, 0, sizeof(seenbm));
+    for (long i = 0; i + 1 < n; i++) {
+        long p0 = ((unsigned)buf[i] << 8) | buf[i + 1];
+        COLCRUSH_TOUCH(p0);
+    }
+    memset(active, 0, sizeof(active)); /* second_of/code_of gated by active */
     while (nsym < max_symbols && nsym < n_free && n >= 2) {
         long bs = (round < 16) ? (1L << round) : batch_max;
         if (bs > batch_max) bs = batch_max;
         if (bs > max_symbols - nsym) bs = max_symbols - nsym;
         if (bs > n_free - nsym) bs = n_free - nsym;
         long nc = 0;
-        for (long p = 0; p < 65536; p++) {
+        for (long t = 0; t < ntouched; t++) {
+            long p = touched[t];
             long c2 = counts[p];
             if (c2 >= floor_count && (double)c2 * scale >= (double)(min_gain + 3))
                 cand[nc++] = (c2 << 17) | p; /* count < 2^31, pair < 2^17 */
@@ -150,8 +181,9 @@ long colcrush_train(unsigned char *buf, long *pn, const unsigned char *free_code
             unsigned char c = free_codes[nsym + nb];
             used[x] = 1;
             used[y] = 1;
-            map[p] = (short)c;
             active[x] = 1;
+            second_of[x] = y;
+            code_of[x] = c;
             set_pairs[nb] = p;
             out_table[(nsym + nb) * 3] = c;
             out_table[(nsym + nb) * 3 + 1] = x;
@@ -174,12 +206,20 @@ long colcrush_train(unsigned char *buf, long *pn, const unsigned char *free_code
         int prev_old = -1, last = -1;
         while (i + 1 < n) {
             unsigned char b0 = buf[i];
-            short m = active[b0] ? map[((unsigned)b0 << 8) | buf[i + 1]] : -1;
+            /* used[]-disjointness: b0 starts at most ONE selected pair,
+               so a second-byte compare replaces the old 128 KiB
+               pair->code map lookup (L1 hit instead of L2 miss on
+               every active byte) */
+            short m = (active[b0] && buf[i + 1] == second_of[b0])
+                          ? (short)code_of[b0]
+                          : -1;
             if (m >= 0) {
                 unsigned char y2 = buf[i + 1];
                 if (prev_old >= 0) {
+                    long pj;
                     counts[((unsigned)prev_old << 8) | b0]--;
-                    counts[((unsigned)last << 8) | (unsigned)m]++;
+                    pj = ((unsigned)last << 8) | (unsigned)m;
+                    COLCRUSH_TOUCH(pj);
                 }
                 counts[((unsigned)b0 << 8) | y2]--;
                 buf[o++] = (unsigned char)m;
@@ -188,8 +228,10 @@ long colcrush_train(unsigned char *buf, long *pn, const unsigned char *free_code
                 i += 2;
             } else {
                 if (prev_old >= 0 && prev_old != last) {
+                    long pj;
                     counts[((unsigned)prev_old << 8) | b0]--;
-                    counts[((unsigned)last << 8) | b0]++;
+                    pj = ((unsigned)last << 8) | b0;
+                    COLCRUSH_TOUCH(pj);
                 }
                 buf[o++] = b0;
                 prev_old = b0;
@@ -200,18 +242,18 @@ long colcrush_train(unsigned char *buf, long *pn, const unsigned char *free_code
         if (i < n) {
             unsigned char b0 = buf[i];
             if (prev_old >= 0 && prev_old != last) {
+                long pj;
                 counts[((unsigned)prev_old << 8) | b0]--;
-                counts[((unsigned)last << 8) | b0]++;
+                pj = ((unsigned)last << 8) | b0;
+                COLCRUSH_TOUCH(pj);
             }
             buf[o++] = b0;
         }
         n = o;
         nsym += nb;
         round++;
-        for (long k = 0; k < nb; k++) { /* clear this round's map/active */
-            map[set_pairs[k]] = -1;
+        for (long k = 0; k < nb; k++) /* clear this round's active set */
             active[(set_pairs[k] >> 8) & 0xFF] = 0;
-        }
     }
     *pn = n;
     return nsym;

@@ -157,22 +157,52 @@ def encode_ints_best(values: np.ndarray, allow_rle: bool = True) -> bytes:
     """Encode with whichever of plain/forbp/delta/rle is smallest.
 
     Candidate sizes are computed ANALYTICALLY (exact formulas mirroring
-    each encoder), so only the winner is actually encoded — 1 encode
-    pass instead of 4. Tie-break order matches the old encode-everything
-    implementation (plain, forbp, delta, rle) so outputs are
-    byte-identical.
-    """
+    each encoder), and every shared intermediate — min/max, the diff
+    array, the zigzagged deltas — is computed ONCE and reused by the
+    winning encoder (the earlier size-then-encode split recomputed the
+    diff up to three times per call; this path is a hot loop under
+    string lengths and dictionary indices). Tie-break order matches the
+    old encode-everything implementation (plain, forbp, delta, rle) so
+    outputs are byte-identical — pinned by the roundtrip property
+    tests. Note encode_delta's int64-overflow guard is intentionally
+    absent here: wrapping arithmetic is self-consistent (d, cumsum, and
+    the check all wrap mod 2^64 identically), so the guard can never
+    fire and wrapped deltas still roundtrip exactly."""
     v = _to_i64(values)
     n = len(v)
     candidates: list[tuple[int, int]] = [(_size_plain(n), TAG_PLAIN)]
-    f = _size_forbp(v)
-    if f is not None:
-        candidates.append((f, TAG_FORBP))
-    d = _size_delta(v)
-    if d is not None:
-        candidates.append((d, TAG_DELTA))
+    f_lo = f_width = None
+    if n == 0:
+        candidates.append((_HDR.size + 9, TAG_FORBP))
+    else:
+        f_lo, hi = int(v.min()), int(v.max())
+        span = hi - f_lo  # python ints: no overflow
+        if span < (1 << 63):
+            f_width = bit_width(span)
+            candidates.append(
+                (
+                    _HDR.size + 9 + (0 if f_width == 0 else -(-n * f_width // 8)),
+                    TAG_FORBP,
+                )
+            )
+    d = zz = z_lo = z_width = None
+    if n >= 2:
+        with np.errstate(over="ignore"):
+            d = np.diff(v)
+        zz = _zigzag(d)
+        z_lo = int(zz.min())
+        z_width = bit_width(int(zz.max()) - z_lo)
+        candidates.append(
+            (
+                _HDR.size + 17 + (0 if z_width == 0 else -(-(n - 1) * z_width // 8)),
+                TAG_DELTA,
+            )
+        )
+    run_values = run_lengths = None
     if allow_rle and n > 4:
-        change = np.flatnonzero(np.diff(v) != 0)
+        # d != 0 detects value changes exactly even for wrapped diffs
+        # (a - b mod 2^64 is 0 iff a == b for int64 inputs)
+        change = np.flatnonzero(d != 0)
         starts = np.concatenate(([0], change + 1))
         run_values = v[starts]
         ends = np.concatenate((starts[1:], [n]))
@@ -189,10 +219,29 @@ def encode_ints_best(values: np.ndarray, allow_rle: bool = True) -> bytes:
     if best_tag == TAG_PLAIN:
         return encode_plain(v)
     if best_tag == TAG_FORBP:
-        return encode_forbp(v)
+        if n == 0:
+            return _HDR.pack(TAG_FORBP, 0) + struct.pack("<qB", 0, 0)
+        packed = pack_bits((v - f_lo).view(np.uint64), f_width)
+        return (
+            _HDR.pack(TAG_FORBP, n) + struct.pack("<qB", f_lo, f_width) + packed
+        )
     if best_tag == TAG_DELTA:
-        return encode_delta(v)
-    return encode_rle(v)
+        packed = pack_bits(zz - np.uint64(z_lo), z_width)
+        return (
+            _HDR.pack(TAG_DELTA, n)
+            + struct.pack("<qB", int(v[0]), z_width)
+            + struct.pack("<Q", z_lo)
+            + packed
+        )
+    body_v = encode_ints_best(run_values, allow_rle=False)
+    body_l = encode_ints_best(run_lengths, allow_rle=False)
+    return (
+        _HDR.pack(TAG_RLE, n)
+        + struct.pack("<q", len(run_values))
+        + struct.pack("<q", len(body_v))
+        + body_v
+        + body_l
+    )
 
 
 # ---------------------------------------------------------------- decoder
