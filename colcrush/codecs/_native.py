@@ -301,6 +301,241 @@ void colcrush_unpack_bits(const unsigned char *in, long n, int w,
     }
 }
 
+/* Full greedy compress straight from the raw (code, x, y) table:
+   derives every code's byte expansion, orders candidates by (length
+   desc, expansion bytes asc) with the FIRST table entry winning among
+   duplicate expansions, builds the first-2-bytes bucket chains, and
+   runs the greedy longest-match encode — one call replacing the
+   Python candidate prep in fsst.compress (which cost ~2x the match
+   loop itself at real chunk sizes). Selection/tie-break semantics are
+   exactly _match_symbols + compress_greedy, so output bytes are
+   identical (pinned by the native-vs-fallback compress parity test).
+   Insertion sort over <= 248 candidates is deterministic and
+   comparator-stateful without qsort_r. Returns the output length, or
+   -1 on a pathological expansion blow-up / malloc failure (caller
+   falls back to the Python prep). */
+long colcrush_compress_table(const unsigned char *in, long n,
+                             const unsigned char *tcodes,
+                             const unsigned char *txs,
+                             const unsigned char *tys, long nt,
+                             unsigned char *out) {
+    long off[256], len[256];
+    for (int v = 0; v < 256; v++) {
+        off[v] = -1; /* identity: the byte itself */
+        len[v] = 1;
+    }
+    long total = 0;
+    for (long t = 0; t < nt; t++) {
+        long L = len[txs[t]] + len[tys[t]];
+        len[tcodes[t]] = L;
+        total += L;
+        if (total > (64L << 20))
+            return -1; /* runaway recursive expansion: python path */
+    }
+    unsigned char *arena = (unsigned char *)malloc((size_t)(total ? total : 1));
+    if (!arena)
+        return -1;
+    /* second pass: fill expansions in table order (x/y expansions are
+       already final: earlier codes resolved, plain bytes identity) */
+    for (int v = 0; v < 256; v++) {
+        off[v] = -1;
+        len[v] = 1;
+    }
+    long pos = 0;
+    for (long t = 0; t < nt; t++) {
+        unsigned char x = txs[t], y = tys[t], c = tcodes[t];
+        long lx = len[x], ly = len[y];
+        if (off[x] >= 0)
+            memcpy(arena + pos, arena + off[x], (size_t)lx);
+        else
+            arena[pos] = x;
+        if (off[y] >= 0)
+            memcpy(arena + pos + lx, arena + off[y], (size_t)ly);
+        else
+            arena[pos + lx] = y;
+        off[c] = pos;
+        len[c] = lx + ly;
+        pos += lx + ly;
+    }
+    /* candidate list in table order, dropping duplicate expansions
+       (first occurrence kept — same as the seen-dict in python) */
+    long cand_off[256], cand_len[256];
+    unsigned char cand_code[256];
+    long ncand = 0;
+    for (long t = 0; t < nt; t++) {
+        unsigned char c = tcodes[t];
+        long lo = off[c], ll = len[c];
+        int dup = 0;
+        for (long k = 0; k < ncand; k++)
+            if (cand_len[k] == ll &&
+                memcmp(arena + cand_off[k], arena + lo, (size_t)ll) == 0) {
+                dup = 1;
+                break;
+            }
+        if (!dup) {
+            cand_off[ncand] = lo;
+            cand_len[ncand] = ll;
+            cand_code[ncand] = c;
+            ncand++;
+        }
+    }
+    /* insertion sort: length desc, expansion bytes asc (expansions are
+       unique after dedup, so the order is total and deterministic) */
+    for (long i = 1; i < ncand; i++) {
+        long co = cand_off[i], cl = cand_len[i];
+        unsigned char cc = cand_code[i];
+        long j = i - 1;
+        while (j >= 0) {
+            long cmp;
+            if (cand_len[j] != cl)
+                cmp = (cand_len[j] < cl) ? 1 : -1; /* longer first */
+            else {
+                long m = memcmp(arena + cand_off[j], arena + co, (size_t)cl);
+                cmp = (m > 0) ? 1 : (m < 0) ? -1 : 0;
+            }
+            if (cmp <= 0)
+                break;
+            cand_off[j + 1] = cand_off[j];
+            cand_len[j + 1] = cand_len[j];
+            cand_code[j + 1] = cand_code[j];
+            j--;
+        }
+        cand_off[j + 1] = co;
+        cand_len[j + 1] = cl;
+        cand_code[j + 1] = cc;
+    }
+    /* first-2-bytes bucket chains in global sorted order (chain walk
+       is front-to-back, so longest-match order is preserved) */
+    int head[65536];
+    int nxt[256];
+    for (long p = 0; p < 65536; p++)
+        head[p] = -1;
+    for (long k = 0; k < ncand; k++)
+        nxt[k] = -1;
+    for (long k = 0; k < ncand; k++) {
+        const unsigned char *e = arena + cand_off[k];
+        long p = ((long)e[0] << 8) | e[1];
+        if (head[p] < 0)
+            head[p] = (int)k;
+        else {
+            int q = head[p];
+            while (nxt[q] >= 0)
+                q = nxt[q];
+            nxt[q] = (int)k;
+        }
+    }
+    long o = colcrush_compress_greedy(in, n, arena, cand_off, cand_len,
+                                      cand_code, head, nxt, out);
+    free(arena);
+    return o;
+}
+
+/* One-pass int64 stats for integer-codec selection: min, max, the
+   UNSIGNED min/max of the zigzagged wrapping deltas, and the run
+   count — exact mirrors of the numpy formulas in intcodec.py
+   (zigzag(d) = (u << 1) ^ (d >> 63) on the mod-2^64 diff; a run
+   boundary is v[i] != v[i-1], identical to d != 0). out layout:
+   [0]=min, [1]=max, [2]=zzmin (u64 bits), [3]=zzmax (u64 bits),
+   [4]=n_runs. For n == 1 the delta slots are 0 and n_runs = 1; the
+   caller gates delta selection on n >= 2. Replaces ~6 numpy array
+   passes (min, max, diff, zigzag, zz.min, zz.max, d != 0) with one
+   cache-friendly sweep — encode_ints_best runs once per chunk-column
+   payload (string lengths, dict indices, run bodies), so per-call
+   overhead is the hot cost at real chunk sizes. */
+void colcrush_int_stats(const long long *v, long n, long long *out) {
+    long long mn = v[0], mx = v[0];
+    unsigned long long zmn = ~0ULL, zmx = 0;
+    long runs = 1;
+    for (long i = 1; i < n; i++) {
+        long long x = v[i];
+        if (x < mn) mn = x;
+        if (x > mx) mx = x;
+        unsigned long long ud =
+            (unsigned long long)x - (unsigned long long)v[i - 1];
+        unsigned long long zz =
+            (ud << 1) ^ ((ud >> 63) ? ~0ULL : 0ULL);
+        if (zz < zmn) zmn = zz;
+        if (zz > zmx) zmx = zz;
+        if (ud != 0) runs++;
+    }
+    out[0] = mn;
+    out[1] = mx;
+    out[2] = (n >= 2) ? (long long)zmn : 0;
+    out[3] = (n >= 2) ? (long long)zmx : 0;
+    out[4] = runs;
+}
+
+/* Change-point run extraction (n >= 1): fills run_values/run_lengths
+   (caller sizes them via int_stats n_runs) and returns the run count.
+   Mirrors the numpy flatnonzero(d != 0) construction exactly. */
+long colcrush_extract_runs(const long long *v, long n, long long *rv,
+                           long long *rl) {
+    long r = 0, start = 0;
+    for (long i = 1; i < n; i++) {
+        if (v[i] != v[i - 1]) {
+            rv[r] = v[start];
+            rl[r] = i - start;
+            r++;
+            start = i;
+        }
+    }
+    rv[r] = v[start];
+    rl[r] = n - start;
+    return r + 1;
+}
+
+/* Fused frame-of-reference pack: pack_bits((v - lo) as u64, w)
+   without materializing the shifted temp. Same accumulator loop as
+   colcrush_pack_bits (w <= 56 caller-gated), so bytes are identical
+   to the two-step numpy/C path. */
+void colcrush_pack_for(const long long *v, long n, long long lo, int w,
+                       unsigned char *out) {
+    unsigned long long acc = 0;
+    unsigned long long mask = (1ULL << w) - 1;
+    int nb = 0;
+    long o = 0;
+    for (long i = 0; i < n; i++) {
+        unsigned long long u =
+            (unsigned long long)v[i] - (unsigned long long)lo;
+        acc |= (u & mask) << nb;
+        nb += w;
+        while (nb >= 8) {
+            out[o++] = (unsigned char)(acc & 0xFF);
+            acc >>= 8;
+            nb -= 8;
+        }
+    }
+    if (nb > 0)
+        out[o++] = (unsigned char)(acc & 0xFF);
+}
+
+/* Fused zigzag-delta pack: pack_bits(zigzag(diff(v)) - zlo, w) for
+   n >= 2, one pass, no diff/zigzag temps. Same wrapping/zigzag
+   formulas as colcrush_int_stats; w <= 56 caller-gated. */
+void colcrush_pack_deltas(const long long *v, long n,
+                          unsigned long long zlo, int w,
+                          unsigned char *out) {
+    unsigned long long acc = 0;
+    unsigned long long mask = (1ULL << w) - 1;
+    int nb = 0;
+    long o = 0;
+    for (long i = 1; i < n; i++) {
+        unsigned long long ud =
+            (unsigned long long)v[i] - (unsigned long long)v[i - 1];
+        unsigned long long zz =
+            (ud << 1) ^ ((ud >> 63) ? ~0ULL : 0ULL);
+        acc |= ((zz - zlo) & mask) << nb;
+        nb += w;
+        while (nb >= 8) {
+            out[o++] = (unsigned char)(acc & 0xFF);
+            acc >>= 8;
+            nb -= 8;
+        }
+    }
+    if (nb > 0)
+        out[o++] = (unsigned char)(acc & 0xFF);
+}
+
 /* Decode: expand every byte through its precomputed recursive
    expansion (flat table + starts/lens). Returns output length. */
 long colcrush_expand(const unsigned char *in, long n,
@@ -367,6 +602,34 @@ class _Kernels:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_void_p,
             ctypes.c_long, ctypes.c_long, ctypes.c_double, ctypes.c_long,
             ctypes.c_long, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        self._compress_table = lib.colcrush_compress_table
+        self._compress_table.restype = ctypes.c_long
+        self._compress_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ]
+        self._int_stats = lib.colcrush_int_stats
+        self._int_stats.restype = None
+        self._int_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ]
+        self._extract_runs = lib.colcrush_extract_runs
+        self._extract_runs.restype = ctypes.c_long
+        self._extract_runs.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        self._pack_for = lib.colcrush_pack_for
+        self._pack_for.restype = None
+        self._pack_for.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        self._pack_deltas = lib.colcrush_pack_deltas
+        self._pack_deltas.restype = None
+        self._pack_deltas.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_ulonglong, ctypes.c_int,
+            ctypes.c_void_p,
         ]
 
     def presence(self, data: bytes) -> np.ndarray:
@@ -454,6 +717,55 @@ class _Kernels:
     def expand_total(self, a: np.ndarray, lens: np.ndarray) -> int:
         a = np.ascontiguousarray(a)
         return int(self._expand_total(a.ctypes.data, len(a), lens.ctypes.data))
+
+    def compress_table(
+        self, corpus: bytes, table: list[tuple[int, int, int]]
+    ) -> "bytes | None":
+        """Greedy compress from the raw table in one C call; None on a
+        pathological expansion blow-up (caller uses the Python prep)."""
+        inb = np.frombuffer(corpus, dtype=np.uint8)
+        t = np.array(table, dtype=np.uint8)  # (nt, 3): code, x, y
+        codes = np.ascontiguousarray(t[:, 0])
+        xs = np.ascontiguousarray(t[:, 1])
+        ys = np.ascontiguousarray(t[:, 2])
+        out = np.empty(len(inb), dtype=np.uint8)
+        n = self._compress_table(
+            inb.ctypes.data, len(inb), codes.ctypes.data, xs.ctypes.data,
+            ys.ctypes.data, len(table), out.ctypes.data,
+        )
+        if n < 0:
+            return None
+        return out[:n].tobytes()
+
+    def int_stats(self, v: np.ndarray) -> tuple[int, int, int, int, int]:
+        """(min, max, zzmin, zzmax, n_runs) of a non-empty contiguous
+        int64 array; zz values are the unsigned zigzagged-delta bounds
+        returned as python ints."""
+        out = np.empty(5, dtype=np.int64)
+        self._int_stats(v.ctypes.data, len(v), out.ctypes.data)
+        u = out.view(np.uint64)
+        return int(out[0]), int(out[1]), int(u[2]), int(u[3]), int(out[4])
+
+    def extract_runs(
+        self, v: np.ndarray, n_runs: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        rv = np.empty(n_runs, dtype=np.int64)
+        rl = np.empty(n_runs, dtype=np.int64)
+        got = self._extract_runs(
+            v.ctypes.data, len(v), rv.ctypes.data, rl.ctypes.data
+        )
+        assert got == n_runs
+        return rv, rl
+
+    def pack_for(self, v: np.ndarray, lo: int, width: int) -> bytes:
+        out = np.empty((len(v) * width + 7) // 8, dtype=np.uint8)
+        self._pack_for(v.ctypes.data, len(v), lo, width, out.ctypes.data)
+        return out.tobytes()
+
+    def pack_deltas(self, v: np.ndarray, zlo: int, width: int) -> bytes:
+        out = np.empty(((len(v) - 1) * width + 7) // 8, dtype=np.uint8)
+        self._pack_deltas(v.ctypes.data, len(v), zlo, width, out.ctypes.data)
+        return out.tobytes()
 
 
 def _so_dir() -> str:

@@ -185,18 +185,32 @@ def _int_restore(values: np.ndarray, t: pa.DataType, mask: np.ndarray | None) ->
 
 
 def _string_parts(nn: pa.Array) -> tuple[np.ndarray, bytes]:
-    """Non-null string/binary array -> (lengths int64, concatenated bytes)."""
+    """Non-null string/binary array -> (lengths int64, concatenated bytes).
+
+    Reads the offsets buffer at its NATIVE width (int32 for
+    string/binary, int64 for the large_ variants) instead of casting to
+    large_binary first — the cast rebuilt the whole offsets buffer per
+    call and this runs once per string chunk-column. The data buffer is
+    identical either way, so lengths/blob (and thus encoded bytes) are
+    unchanged."""
     if len(nn) == 0:
         return np.zeros(0, dtype=np.int64), b""
-    lb = nn.cast(pa.large_binary())
-    bufs = lb.buffers()
-    off = lb.offset
+    t = nn.type
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        width, dtype = 8, np.int64
+    elif pa.types.is_string(t) or pa.types.is_binary(t):
+        width, dtype = 4, np.int32
+    else:  # string_view etc.: no plain offsets buffer — cast once
+        nn = nn.cast(pa.large_binary())
+        width, dtype = 8, np.int64
+    bufs = nn.buffers()
+    off = nn.offset
     offsets = np.frombuffer(
-        bufs[1], dtype=np.int64, count=len(lb) + 1, offset=off * 8
+        bufs[1], dtype=dtype, count=len(nn) + 1, offset=off * width
     )
     data = bufs[2]
-    blob = data[offsets[0] : offsets[-1]].to_pybytes() if len(lb) else b""
-    lengths = np.diff(offsets)
+    blob = data[offsets[0] : offsets[-1]].to_pybytes()
+    lengths = np.diff(offsets.astype(np.int64))
     return lengths, blob
 
 

@@ -197,6 +197,15 @@ def compress(corpus: bytes, table: list[tuple[int, int, int]]) -> bytes:
     so chunk identity never depends on the host toolchain."""
     if not table or len(corpus) < 2:
         return corpus
+    if _native is not None:
+        # one C call: expansion derivation, (len desc, bytes asc)
+        # candidate ordering with first-in-table dedup, bucket build,
+        # greedy match — the Python prep below cost ~2x the match loop
+        # itself per chunk. None only on a pathological recursive
+        # expansion blow-up; fall through to the stepwise path then.
+        res = _native.compress_table(corpus, table)
+        if res is not None:
+            return res
     syms = _match_symbols(table)
     if _native is not None:
         ns = len(syms)

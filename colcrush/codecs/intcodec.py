@@ -24,7 +24,10 @@ import struct
 
 import numpy as np
 
+from ._native import load as _load_native
 from .bitpack import bit_width, pack_bits, unpack_bits
+
+_native = _load_native()
 
 TAG_PLAIN = 0
 TAG_FORBP = 1
@@ -142,14 +145,32 @@ def _size_delta(v: np.ndarray) -> int | None:
 
 
 def _analytic_best_size(v: np.ndarray) -> int:
-    """min size over plain/forbp/delta — mirrors the encoders exactly."""
-    sizes = [_size_plain(len(v))]
-    f = _size_forbp(v)
-    if f is not None:
-        sizes.append(f)
-    d = _size_delta(v)
-    if d is not None:
-        sizes.append(d)
+    """min size over plain/forbp/delta — mirrors the encoders exactly.
+    With the C kernels loaded, all bounds come from one
+    colcrush_int_stats sweep instead of six numpy array passes; the
+    formulas (and therefore the returned size) are identical either
+    way, pinned by the native-vs-numpy parity fuzz test."""
+    n = len(v)
+    if _native is None or n == 0:
+        sizes = [_size_plain(n)]
+        f = _size_forbp(v)
+        if f is not None:
+            sizes.append(f)
+        d = _size_delta(v)
+        if d is not None:
+            sizes.append(d)
+        return min(sizes)
+    mn, mx, zmn, zmx, _ = _native.int_stats(v)
+    sizes = [_size_plain(n)]
+    span = mx - mn
+    if span < (1 << 63):
+        w = bit_width(span)
+        sizes.append(_HDR.size + 9 + (0 if w == 0 else -(-n * w // 8)))
+    if n >= 2:
+        w = bit_width(zmx - zmn)
+        sizes.append(
+            _HDR.size + 9 + 8 + (0 if w == 0 else -(-(n - 1) * w // 8))
+        )
     return min(sizes)
 
 
@@ -167,8 +188,99 @@ def encode_ints_best(values: np.ndarray, allow_rle: bool = True) -> bytes:
     tests. Note encode_delta's int64-overflow guard is intentionally
     absent here: wrapping arithmetic is self-consistent (d, cumsum, and
     the check all wrap mod 2^64 identically), so the guard can never
-    fire and wrapped deltas still roundtrip exactly."""
+    fire and wrapped deltas still roundtrip exactly.
+
+    With the C kernels loaded, selection bounds come from one
+    colcrush_int_stats sweep and the winning FOR/delta payload is
+    packed in one fused pass (no shifted/zigzagged temps); the numpy
+    body below is the canonical fallback and the parity fuzz test pins
+    byte identity between the two."""
     v = _to_i64(values)
+    if _native is not None:
+        return _encode_best_native(v, allow_rle)
+    return _encode_best_numpy(v, allow_rle)
+
+
+def _encode_best_native(v: np.ndarray, allow_rle: bool) -> bytes:
+    n = len(v)
+    candidates: list[tuple[int, int]] = [(_size_plain(n), TAG_PLAIN)]
+    f_lo = f_width = z_lo = z_width = n_runs = None
+    if n == 0:
+        candidates.append((_HDR.size + 9, TAG_FORBP))
+    else:
+        f_lo, mx, zmn, zmx, n_runs = _native.int_stats(v)
+        span = mx - f_lo  # python ints: no overflow
+        if span < (1 << 63):
+            f_width = bit_width(span)
+            candidates.append(
+                (
+                    _HDR.size + 9 + (0 if f_width == 0 else -(-n * f_width // 8)),
+                    TAG_FORBP,
+                )
+            )
+        if n >= 2:
+            z_lo = zmn
+            z_width = bit_width(zmx - zmn)
+            candidates.append(
+                (
+                    _HDR.size
+                    + 17
+                    + (0 if z_width == 0 else -(-(n - 1) * z_width // 8)),
+                    TAG_DELTA,
+                )
+            )
+    run_values = run_lengths = None
+    if allow_rle and n > 4:
+        run_values, run_lengths = _native.extract_runs(v, n_runs)
+        rle_size = (
+            _HDR.size
+            + 16
+            + _analytic_best_size(run_values)
+            + _analytic_best_size(run_lengths)
+        )
+        candidates.append((rle_size, TAG_RLE))
+    # stable min: first of the smallest, in candidate insertion order
+    best_tag = min(candidates, key=lambda c: c[0])[1]
+    if best_tag == TAG_PLAIN:
+        return encode_plain(v)
+    if best_tag == TAG_FORBP:
+        if n == 0:
+            return _HDR.pack(TAG_FORBP, 0) + struct.pack("<qB", 0, 0)
+        if f_width == 0:
+            packed = b""
+        elif f_width <= 56:
+            packed = _native.pack_for(v, f_lo, f_width)
+        else:  # 57..63: numpy bit-matrix path, same bytes
+            packed = pack_bits((v - f_lo).view(np.uint64), f_width)
+        return (
+            _HDR.pack(TAG_FORBP, n) + struct.pack("<qB", f_lo, f_width) + packed
+        )
+    if best_tag == TAG_DELTA:
+        if z_width == 0:
+            packed = b""
+        elif z_width <= 56:
+            packed = _native.pack_deltas(v, z_lo, z_width)
+        else:  # 57..64: materialize once, pack via the wide-width path
+            d = np.diff(v)
+            packed = pack_bits(_zigzag(d) - np.uint64(z_lo), z_width)
+        return (
+            _HDR.pack(TAG_DELTA, n)
+            + struct.pack("<qB", int(v[0]), z_width)
+            + struct.pack("<Q", z_lo)
+            + packed
+        )
+    body_v = _encode_best_native(run_values, allow_rle=False)
+    body_l = _encode_best_native(run_lengths, allow_rle=False)
+    return (
+        _HDR.pack(TAG_RLE, n)
+        + struct.pack("<q", len(run_values))
+        + struct.pack("<q", len(body_v))
+        + body_v
+        + body_l
+    )
+
+
+def _encode_best_numpy(v: np.ndarray, allow_rle: bool) -> bytes:
     n = len(v)
     candidates: list[tuple[int, int]] = [(_size_plain(n), TAG_PLAIN)]
     f_lo = f_width = None
@@ -233,8 +345,8 @@ def encode_ints_best(values: np.ndarray, allow_rle: bool = True) -> bytes:
             + struct.pack("<Q", z_lo)
             + packed
         )
-    body_v = encode_ints_best(run_values, allow_rle=False)
-    body_l = encode_ints_best(run_lengths, allow_rle=False)
+    body_v = _encode_best_numpy(run_values, allow_rle=False)
+    body_l = _encode_best_numpy(run_lengths, allow_rle=False)
     return (
         _HDR.pack(TAG_RLE, n)
         + struct.pack("<q", len(run_values))

@@ -340,3 +340,98 @@ def test_encode_fn_chunk_cut_properties(group_sizes, cap, batch_rows):
         )
     assert a == chunks(max(1, n_total))                # (d) batch-invariant
     assert a == chunks(3)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(-(2**63), 2**63 - 1),        # full-range (wide widths)
+            st.integers(-5, 5),                       # run/RLE-friendly
+            st.integers(0, 2**40),                    # FOR-friendly
+        ),
+        max_size=200,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_encode_ints_best_native_vs_numpy_parity(vals, allow_rle):
+    """The C int_stats/extract_runs/pack_for/pack_deltas fast path and
+    the pure-numpy body must choose the same codec and emit identical
+    bytes for every input (chunk identity can never depend on the host
+    toolchain). Full-range integers exercise the span >= 2^63 no-FOR
+    branch and the 57..64-bit pack fallbacks; the roundtrip closes the
+    loop."""
+    from colcrush.codecs import intcodec as ic
+
+    if ic._native is None:
+        pytest.skip("no C compiler available")
+    v = np.array(vals, dtype=np.int64)
+    nat = ic._encode_best_native(v, allow_rle)
+    ref = ic._encode_best_numpy(v, allow_rle)
+    assert nat == ref
+    assert np.array_equal(ic.decode_ints(nat), v)
+
+
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_int_stats_and_runs_match_numpy_formulas(vals):
+    """colcrush_int_stats / colcrush_extract_runs vs the exact numpy
+    expressions they replace."""
+    from colcrush.codecs import intcodec as ic
+
+    if ic._native is None:
+        pytest.skip("no C compiler available")
+    v = np.array(vals, dtype=np.int64)
+    mn, mx, zmn, zmx, n_runs = ic._native.int_stats(v)
+    assert mn == int(v.min()) and mx == int(v.max())
+    if len(v) >= 2:
+        with np.errstate(over="ignore"):
+            d = np.diff(v)
+        zz = ic._zigzag(d)
+        assert zmn == int(zz.min()) and zmx == int(zz.max())
+        exp_runs = 1 + int(np.count_nonzero(d != 0))
+    else:
+        assert (zmn, zmx) == (0, 0)
+        exp_runs = 1
+    assert n_runs == exp_runs
+    rv, rl = ic._native.extract_runs(v, n_runs)
+    change = np.flatnonzero(np.diff(v) != 0) if len(v) > 1 else np.array([], dtype=int)
+    starts = np.concatenate(([0], change + 1))
+    ends = np.concatenate((starts[1:], [len(v)]))
+    assert np.array_equal(rv, v[starts])
+    assert np.array_equal(rl, ends - starts)
+
+
+@given(st.data())
+@settings(max_examples=150, deadline=None)
+def test_compress_table_matches_python_prep(data):
+    """colcrush_compress_table (one-call expansion+sort+dedup+match)
+    vs the stepwise _match_symbols + greedy path, including tables with
+    DUPLICATE expansions (two code chains producing the same bytes —
+    first table entry must win) and chained codes (x/y referencing
+    earlier codes)."""
+    from colcrush.codecs import fsst as fsst_mod
+
+    if fsst_mod._native is None:
+        pytest.skip("no C compiler available")
+    # corpus over a small alphabet so pairs repeat
+    corpus = bytes(
+        data.draw(st.lists(st.integers(97, 103), min_size=2, max_size=400))
+    )
+    free = list(range(200, 240))
+    nt = data.draw(st.integers(1, 12))
+    table = []
+    for i in range(nt):
+        # x/y drawn from the corpus alphabet plus already-assigned codes
+        pool = list(range(97, 104)) + [c for c, _, _ in table]
+        x = data.draw(st.sampled_from(pool))
+        y = data.draw(st.sampled_from(pool))
+        table.append((free[i], x, y))
+    nat = fsst_mod._native.compress_table(corpus, table)
+    syms = fsst_mod._match_symbols(table)
+    import re as _re
+
+    pat = _re.compile(b"|".join(_re.escape(e) for e, _ in syms))
+    repl = {e: bytes((c,)) for e, c in syms}
+    ref = pat.sub(lambda m: repl[m.group(0)], corpus)
+    assert nat == ref
