@@ -12,9 +12,21 @@ against any FileSystem, incl. the s3Test integration suite
 paths keep the cheap ``os`` fast path. Two schemes are exercised in
 tests/test_remote_fs_paths.py: ``file://`` and ``viewfs://`` (Hadoop's
 client-side mount-table FileSystem — distinct authority handling,
-mount resolution and a checksummed delegate path); s3a jars are not in
-this sandbox, but the Hadoop FS API surface used here is identical for
-object-store schemes.
+mount resolution and a checksummed delegate path).
+
+Object-store routes (parquet4s S3ItSpec.scala analog):
+- ``s3a://`` stays on the JVM Hadoop route — on a real cluster the
+  hadoop-aws connector handles it; the connector jar is not in this
+  sandbox (re-checked round 6: pyspark 4.1.2 ships only
+  hadoop-client-api/runtime, and installs are off), so that path
+  remains declared-residual for live evidence.
+- ``s3://`` takes a PYTHON route through pyarrow.fs.S3FileSystem —
+  fully exercised in tests against an in-process moto server (real S3
+  HTTP protocol, bucket/object semantics). Credentials and endpoint
+  come from the standard AWS env vars (AWS_ACCESS_KEY_ID /
+  AWS_SECRET_ACCESS_KEY / AWS_ENDPOINT_URL). These fsio ops are
+  small-metadata IO (markers, schema.json); bulk chunk parquet always
+  goes through Spark's own FileSystem layer.
 """
 
 from __future__ import annotations
@@ -28,6 +40,31 @@ from pyspark.sql import SparkSession
 
 def has_scheme(path: str) -> bool:
     return "://" in path or path.startswith("file:")
+
+
+def _is_s3(path: str) -> bool:
+    return path.startswith("s3://")
+
+
+_s3_cache: dict = {}
+
+
+def _s3(path: str):
+    """(pyarrow S3FileSystem, bucket/key) for an s3:// url. The
+    filesystem is cached per endpoint — construction does credential
+    resolution each time otherwise."""
+    from pyarrow import fs as pafs
+
+    endpoint = os.environ.get("AWS_ENDPOINT_URL") or None
+    if endpoint not in _s3_cache:
+        kwargs = {"endpoint_override": endpoint} if endpoint else {}
+        region = os.environ.get("AWS_REGION") or os.environ.get(
+            "AWS_DEFAULT_REGION"
+        )
+        if region:
+            kwargs["region"] = region
+        _s3_cache[endpoint] = pafs.S3FileSystem(**kwargs)
+    return _s3_cache[endpoint], path[len("s3://") :].rstrip("/")
 
 
 def join(path: str, *parts: str) -> str:
@@ -52,6 +89,11 @@ def _fs(path: str):
 def exists(path: str) -> bool:
     if not has_scheme(path):
         return os.path.exists(path)
+    if _is_s3(path):
+        from pyarrow import fs as pafs
+
+        s3, key = _s3(path)
+        return s3.get_file_info(key).type != pafs.FileType.NotFound
     _, fs, p = _fs(path)
     return bool(fs.exists(p))
 
@@ -59,6 +101,11 @@ def exists(path: str) -> bool:
 def isdir(path: str) -> bool:
     if not has_scheme(path):
         return os.path.isdir(path)
+    if _is_s3(path):
+        from pyarrow import fs as pafs
+
+        s3, key = _s3(path)
+        return s3.get_file_info(key).type == pafs.FileType.Directory
     _, fs, p = _fs(path)
     return bool(fs.exists(p) and fs.isDirectory(p))
 
@@ -66,6 +113,12 @@ def isdir(path: str) -> bool:
 def listdir(path: str) -> list[str]:
     if not has_scheme(path):
         return os.listdir(path)
+    if _is_s3(path):
+        from pyarrow import fs as pafs
+
+        s3, key = _s3(path)
+        infos = s3.get_file_info(pafs.FileSelector(key))
+        return [i.path.rstrip("/").rsplit("/", 1)[-1] for i in infos]
     _, fs, p = _fs(path)
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
@@ -73,6 +126,10 @@ def listdir(path: str) -> list[str]:
 def makedirs(path: str) -> None:
     if not has_scheme(path):
         os.makedirs(path, exist_ok=True)
+        return
+    if _is_s3(path):
+        s3, key = _s3(path)
+        s3.create_dir(key, recursive=True)
         return
     _, fs, p = _fs(path)
     fs.mkdirs(p)
@@ -82,6 +139,13 @@ def rmtree(path: str) -> None:
     if not has_scheme(path):
         shutil.rmtree(path, ignore_errors=True)
         return
+    if _is_s3(path):
+        s3, key = _s3(path)
+        try:
+            s3.delete_dir(key)
+        except (OSError, IOError):
+            pass  # mirror ignore_errors=True on the local path
+        return
     _, fs, p = _fs(path)
     fs.delete(p, True)
 
@@ -90,6 +154,10 @@ def read_text(path: str) -> str:
     if not has_scheme(path):
         with open(path) as f:
             return f.read()
+    if _is_s3(path):
+        s3, key = _s3(path)
+        with s3.open_input_stream(key) as f:
+            return f.read().decode("utf-8")
     jvm, fs, p = _fs(path)
     stream = fs.open(p)
     try:
@@ -106,6 +174,11 @@ def write_text(path: str, content: str) -> None:
         with open(path, "w") as f:
             f.write(content)
         return
+    if _is_s3(path):
+        s3, key = _s3(path)
+        with s3.open_output_stream(key) as f:
+            f.write(content.encode("utf-8"))
+        return
     _, fs, p = _fs(path)
     out = fs.create(p, True)
     try:
@@ -120,7 +193,14 @@ def write_text_atomic(path: str, content: str) -> None:
     marker file. Hadoop's FileSystem.rename reports failure by
     RETURNING false (no exception), so both steps are checked: a
     silently-lost commit record would leave the dataset in a state a
-    later crash cannot recover from."""
+    later crash cannot recover from.
+
+    On ``s3://`` there is no rename at all — but a single-object PUT
+    is itself atomic (readers see the old or the new object, never a
+    partial one), so the direct write IS the atomic path there."""
+    if _is_s3(path):
+        write_text(path, content)
+        return
     tmp = path + ".tmp"
     write_text(tmp, content)
     if not has_scheme(path):
