@@ -521,7 +521,8 @@ def _choose(
         dict_plausible = allow_dict
         if allow_dict and len(nn) > 4096:
             dict_plausible = _dict_estimate(nn.slice(0, 4096)) is not None
-        dict_est = _dict_estimate(nn) if dict_plausible else None
+        dict_cache: dict = {}
+        dict_est = _dict_estimate(nn, dict_cache) if dict_plausible else None
         if dict_est is not None:
             candidates.append((dict_est, DICT))
         fsst_table = fsst_comp = None
@@ -555,7 +556,7 @@ def _choose(
         if codec == PLAIN_STR:
             return PLAIN_STR, _blk(len_enc) + _blk(blob), extra
         if codec == DICT:
-            return DICT, *_enc_dict(nn, profile, extra)
+            return DICT, *_enc_dict(nn, profile, extra, dict_cache.get("denc"))
         payload = _enc_fsst(lengths, blob, profile, table=fsst_table, comp=fsst_comp)
         if len(payload) > plain_size:  # estimate was wrong — fall back
             return PLAIN_STR, _blk(len_enc) + _blk(blob), extra
@@ -571,9 +572,14 @@ def _choose(
         ints_payload = encode_ints_best(v)
         if force == INTS or not allow_dict:
             return INTS, ints_payload, extra
-        dict_est = _dict_estimate(nn)
+        if force != DICT and len(ints_payload) <= _dict_floor(nn, len(nn)):
+            return INTS, ints_payload, extra  # DICT provably can't win
+        dict_cache = {}
+        dict_est = _dict_estimate(nn, dict_cache)
         if force == DICT or (dict_est is not None and dict_est < len(ints_payload)):
-            dict_payload, dextra = _enc_dict(nn, profile, extra)
+            dict_payload, dextra = _enc_dict(
+                nn, profile, extra, dict_cache.get("denc")
+            )
             if len(dict_payload) < len(ints_payload) or force == DICT:
                 extra.update(dextra)
                 return DICT, dict_payload, extra
@@ -588,9 +594,12 @@ def _choose(
         return FLOAT_INT, fi, extra
     if not allow_dict:
         return PLAIN_FIXED, plain, extra
-    dict_est = _dict_estimate(nn)
+    dict_cache = {}
+    dict_est = _dict_estimate(nn, dict_cache)
     if dict_est is not None and dict_est < len(plain):
-        dict_payload, dextra = _enc_dict(nn, profile, extra)
+        dict_payload, dextra = _enc_dict(
+            nn, profile, extra, dict_cache.get("denc")
+        )
         if len(dict_payload) < len(plain):
             extra.update(dextra)
             return DICT, dict_payload, extra
@@ -664,8 +673,15 @@ def _encode_str_forced(force, nn, lengths, blob, profile, extra):
     raise ValueError(f"bad forced codec {force}")
 
 
-def _dict_estimate(nn: pa.Array) -> int | None:
-    """Cheap upper-ish estimate of DICT encoding size, or None if hopeless."""
+def _dict_estimate(
+    nn: pa.Array, out: dict | None = None
+) -> int | None:
+    """Cheap upper-ish estimate of DICT encoding size, or None if
+    hopeless. When ``out`` is given, the computed DictionaryArray is
+    stashed under ``out['denc']`` so a winning DICT choice doesn't pay
+    pc.dictionary_encode a second time in _enc_dict (the estimate and
+    the encode hash the same values; threading the result is purely a
+    CPU saving — the bytes are identical either way)."""
     n = len(nn)
     if n == 0:
         return None
@@ -673,13 +689,32 @@ def _dict_estimate(nn: pa.Array) -> int | None:
         denc = pc.dictionary_encode(nn)
     except pa.ArrowNotImplementedError:
         return None
-    dvals = denc.dictionary if isinstance(denc, pa.DictionaryArray) else denc.combine_chunks().dictionary
+    if not isinstance(denc, pa.DictionaryArray):
+        denc = denc.combine_chunks()
+    if out is not None:
+        out["denc"] = denc
+    dvals = denc.dictionary
     n_unique = len(dvals)
     if n_unique > max(16, n // 2):
         return None  # dictionary would not pay off
     dict_bytes = dvals.nbytes
     idx_bits = max(1, int(np.ceil(np.log2(max(2, n_unique)))))
     return int(dict_bytes + n * idx_bits // 8 + 64)
+
+
+def _dict_floor(nn: pa.Array, n: int) -> int:
+    """Provable lower bound on any _dict_estimate result: >= one
+    dictionary value's bytes + n rows at the 1-bit index floor + the 64
+    header allowance. Lets fixed-width branches skip the full
+    dictionary_encode pass when the competing payload is already below
+    everything a dictionary could report — the skip can only happen
+    when the DICT branch provably would not be taken, so codec
+    selection (and the output bytes) are unchanged."""
+    try:
+        unit = nn.type.bit_width // 8
+    except (ValueError, AttributeError):
+        unit = 1
+    return unit + n // 8 + 64
 
 
 def _fsst_estimate(
@@ -704,8 +739,11 @@ def _fsst_estimate(
     return est, table, None
 
 
-def _enc_dict(nn: pa.Array, profile: str, extra: dict) -> tuple[bytes, dict]:
-    denc = pc.dictionary_encode(nn)
+def _enc_dict(
+    nn: pa.Array, profile: str, extra: dict, denc=None
+) -> tuple[bytes, dict]:
+    if denc is None:
+        denc = pc.dictionary_encode(nn)
     if isinstance(denc, pa.ChunkedArray):
         denc = denc.combine_chunks()
     dvals = denc.dictionary

@@ -193,6 +193,72 @@ _OUT_COLS = (
 _OUT_BATCH_BYTES = 16 << 20
 
 
+def _row_sizes(arr: pa.Array) -> np.ndarray:
+    """Per-row payload size (bytes, int64) as a PURE function of the
+    row VALUES — never of buffer layout, slicing, or arrow batch
+    segmentation. Chunk byte-cap cuts are computed from these, so cut
+    positions are identical for every partition count and every
+    maxRecordsPerBatch (the previous ``slice.nbytes`` accumulation
+    checked the cap only at slice ends, and slice ends follow batch
+    segmentation — which differs with the partition count, silently
+    breaking N-vs-4N and resume byte identity on byte-capped
+    mega-group shards)."""
+    t = arr.type
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        return _varlen_sizes(arr, 4)
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        return _varlen_sizes(arr, 8)
+    if pa.types.is_boolean(t) or pa.types.is_null(t):
+        return np.full(n, 1, dtype=np.int64)
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_map(t)
+    ):
+        width = 8 if pa.types.is_large_list(t) else 4
+        off = np.asarray(arr.offsets, dtype=np.int64)  # absolute into child
+        if pa.types.is_map(t):
+            child = _row_sizes(arr.keys) + _row_sizes(arr.items)
+        else:
+            child = _row_sizes(arr.values)
+        cs = np.concatenate(([0], np.cumsum(child)))
+        return cs[off[1:]] - cs[off[:-1]] + width
+    if pa.types.is_fixed_size_list(t):
+        child = _row_sizes(arr.values)
+        return child.reshape(n, t.list_size).sum(axis=1)
+    if pa.types.is_struct(t):
+        total = np.zeros(n, dtype=np.int64)
+        for i in range(t.num_fields):
+            total += _row_sizes(arr.field(i))
+        return total
+    if pa.types.is_dictionary(t):
+        # charge the expanded value — purity over exactness (the same
+        # row costs the same wherever it lands)
+        return _row_sizes(arr.cast(t.value_type))
+    try:
+        return np.full(n, max(1, t.bit_width // 8), dtype=np.int64)
+    except (ValueError, AttributeError):
+        return np.full(n, 8, dtype=np.int64)
+
+
+def _varlen_sizes(arr: pa.Array, overhead: int) -> np.ndarray:
+    lb = arr.cast(pa.large_binary())
+    off = np.frombuffer(
+        lb.buffers()[1], dtype=np.int64, count=len(lb) + 1, offset=lb.offset * 8
+    )
+    return np.diff(off) + overhead
+
+
+def _batch_row_sizes(batch: pa.RecordBatch) -> np.ndarray:
+    total = np.zeros(batch.num_rows, dtype=np.int64)
+    for col in batch.columns:
+        total += _row_sizes(col)
+    return total
+
+
 def _new_out_rows() -> dict:
     return {name: [] for name in _OUT_COLS}
 
@@ -330,6 +396,7 @@ def _make_encode_fn(
                     if c not in (salt_col, "__sortkey", gk_col)
                 ]
             )
+            row_sizes = _batch_row_sizes(data)
             key_change = np.zeros(batch.num_rows, dtype=bool)
             gk_vals = None
             if gk_col is not None and group_cols:
@@ -354,18 +421,27 @@ def _make_encode_fn(
                     seq = 0
                     kernel_caches.clear()  # new shard, new distribution
                 cur_key, cur_salt = key, salt
-                # append in sub-slices capped at the row target: a run
-                # longer than target_chunk_rows inside ONE arrow batch
-                # must still cut at the cap (a whole-slice append would
-                # make chunk size — and boundary placement — depend on
-                # arrow batch segmentation instead of row position)
+                # append in sub-slices cut at EXACT row positions: both
+                # caps are evaluated against per-row value sizes, so a
+                # chunk closes on the precise row that reaches the row
+                # cap or crosses the byte cap — boundary placement is a
+                # pure function of the shard's row stream, independent
+                # of arrow batch segmentation AND partition count
+                # (checking the byte cap only at slice ends let batch
+                # boundaries move the cut, which differed across widths)
                 off = s
                 while off < e:
-                    take = min(e - off, target_chunk_rows - buf_rows)
-                    sl = data.slice(off, take)
-                    buf.append(sl)
+                    room = target_chunk_rows - buf_rows
+                    seg = row_sizes[off : min(e, off + room)]
+                    cs = np.cumsum(seg)
+                    need = target_chunk_bytes - buf_bytes
+                    # rows strictly below the byte cap, plus the row
+                    # that crosses it (guarantees progress even when a
+                    # single row alone exceeds the target)
+                    take = min(len(seg), int(np.searchsorted(cs, need)) + 1)
+                    buf.append(data.slice(off, take))
                     buf_rows += take
-                    buf_bytes += sl.nbytes
+                    buf_bytes += int(cs[take - 1])
                     off += take
                     if (
                         buf_bytes >= target_chunk_bytes

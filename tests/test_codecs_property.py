@@ -342,6 +342,83 @@ def test_encode_fn_chunk_cut_properties(group_sizes, cap, batch_rows):
     assert a == chunks(3)
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=6),
+    st.integers(min_value=32, max_value=600),
+    st.integers(min_value=1, max_value=60),
+)
+def test_encode_fn_byte_cap_cut_purity(group_sizes, byte_cap, batch_rows):
+    """BYTE-cap cuts are a pure function of the shard's row stream —
+    identical for every arrow batch segmentation — and land exactly
+    where a pure-python walk of the per-row value sizes says they
+    should (r6 fix: the cap used to be checked only at slice ends, so
+    batch boundaries — which follow the partition count — moved the cut
+    and broke N-vs-4N byte identity on byte-capped mega-shards)."""
+    import pyarrow as pa
+
+    from colcrush.engine.encoder import _make_encode_fn
+
+    rows_g, rows_v = [], []
+    for gi, n in enumerate(group_sizes):
+        rows_g += [f"g{gi}"] * n
+        rows_v += [f"value_{gi}_{j}" * (1 + j % 4) for j in range(n)]
+    n_total = len(rows_g)
+
+    def batches(step):
+        out = []
+        for s in range(0, n_total, step):
+            e = min(n_total, s + step)
+            out.append(
+                pa.record_batch(
+                    [
+                        pa.array(rows_v[s:e]),
+                        pa.array([0] * (e - s), type=pa.int32()),
+                        pa.array(rows_g[s:e]),
+                    ],
+                    names=["val", "__salt", "__groupkey"],
+                )
+            )
+        return out
+
+    def chunks(step):
+        fn = _make_encode_fn(
+            ["g"], byte_cap, 1 << 20, "balanced", "__salt", "__groupkey"
+        )
+        out = []
+        for b in fn(iter(batches(step))):
+            for i in range(b.num_rows):
+                out.append(
+                    (
+                        b.column("group_key")[i].as_py(),
+                        b.column("seq")[i].as_py(),
+                        b.column("n_rows")[i].as_py(),
+                    )
+                )
+        return sorted(out)
+
+    # pure-python oracle: chunk closes ON the row that crosses the cap
+    # (row size = value bytes + 4-byte offset overhead, _row_sizes)
+    expected = []
+    pos = 0
+    for gi, gsize in enumerate(group_sizes):
+        seq, acc, nrows = 0, 0, 0
+        for j in range(gsize):
+            acc += len(rows_v[pos + j].encode()) + 4
+            nrows += 1
+            if acc >= byte_cap:
+                expected.append((f"g{gi}", seq, nrows))
+                seq, acc, nrows = seq + 1, 0, 0
+        if nrows:
+            expected.append((f"g{gi}", seq, nrows))
+        pos += gsize
+
+    a = chunks(batch_rows)
+    assert a == sorted(expected)
+    assert a == chunks(max(1, n_total))   # one mega-batch
+    assert a == chunks(1)                 # row-at-a-time batches
+
+
 @given(
     st.lists(
         st.one_of(

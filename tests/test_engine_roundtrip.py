@@ -279,3 +279,43 @@ def test_chunk_identity_independent_of_arrow_batch_size(spark):
     a = manifest(23)   # batches smaller than and misaligned with runs
     b = manifest(10000)
     assert a == b
+
+
+def test_chunk_identity_independent_of_partition_count(spark):
+    """BYTE-capped chunks on a salted mega-group must be identical for
+    every partition count (r6 fix: the byte cap was checked only at
+    arrow-slice ends, and slice boundaries follow the per-partition
+    batch stream — local[8] vs local[32] encoded the same input to
+    different bytes, silently breaking the N-vs-4N and resume identity
+    the manifest design promises). Same input, two partition counts,
+    byte-for-byte identical chunk tables."""
+    from colcrush.engine import encode_table
+    from colcrush.fixtures import source_code_df
+
+    df = source_code_df(spark, 6000, n_repos=5)
+
+    def manifest(nparts):
+        # small arrow batches so every shard spans several batches: the
+        # batch PHASE within a shard depends on which other shards
+        # share its partition — exactly what changes with the partition
+        # count, and what the old slice-end byte-cap check leaked
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 256)
+        try:
+            enc = encode_table(
+                df,
+                group_cols=["repo", "lang"],
+                target_group_bytes=1 << 20,   # force multi-salt mega-groups
+                target_chunk_bytes=256 << 10,  # force byte-cap cuts
+                num_partitions=nparts,
+            )
+            return sorted(
+                (r["chunk_id"], r["column"], r["n_rows"], bytes(r["payload"]))
+                for r in enc.collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    a = manifest(7)
+    b = manifest(23)
+    assert a == b
