@@ -97,12 +97,19 @@ spark.range(0, {cpus} * 4, 1, {cpus} * 4).mapInArrow(_warm, "n long").count()
 # interleaved pairs carry the statistics).
 encode_table(src, group_cols=["repo", "lang"], profile={profile!r}).agg(
     F.sum("enc_bytes")).collect()
-best_wall, best_cpu, total = None, None, 0
+# order-independent bit-level digest of the encoded output
+# (bit_xor of xxhash64 over chunk identity + payload bytes): equal
+# digests at N and 4N prove the two parallelism levels produced
+# byte-identical chunk tables, the r6 cut-purity guarantee. Computed
+# inside the timed agg — identical extra work at both levels, a
+# hash+xor pass over ~0.3 GB encoded vs a ~3 GB encode job.
+digest_expr = F.expr("bit_xor(xxhash64(chunk_id, column, seq, payload))")
+best_wall, best_cpu, total, digest = None, None, 0, None
 for _ in range(2):
     cpu0 = _tree_cpu_sec()
     t0 = time.time()
     enc = encode_table(src, group_cols=["repo", "lang"], profile={profile!r})
-    total = enc.agg(F.sum("enc_bytes")).collect()[0][0]
+    total, digest = enc.agg(F.sum("enc_bytes"), digest_expr).collect()[0]
     wall = time.time() - t0
     cpu = _tree_cpu_sec() - cpu0
     if best_wall is None or wall < best_wall:
@@ -114,6 +121,7 @@ print("RESULT " + json.dumps({{
     "encoded_bytes": int(total), "wall_sec": round(best_wall, 3),
     "cpu_sec": round(best_cpu, 2),
     "gbps": round(content_bytes / best_wall / 1e9, 4),
+    "output_digest": int(digest),
 }}))
 spark.stop()
 """
@@ -156,9 +164,12 @@ def main():
     cpu_n, cpu_4n = [], []
     gbps_n, gbps_4n = [], []
     core_effs = []
+    digests = set()
     for _ in range(repeats):
         a = run_encode_job(n, rows, profile)
         b = run_encode_job(4 * n, rows, profile)
+        digests.add(a.get("output_digest"))
+        digests.add(b.get("output_digest"))
         if best_n is None or a["gbps"] > best_n["gbps"]:
             best_n = a
         if best_4n is None or b["gbps"] > best_4n["gbps"]:
@@ -225,6 +236,10 @@ def main():
         "content_bytes": r_n["content_bytes"],
         "encoded_bytes": r_n["encoded_bytes"],
         "ratio_vs_raw": round(r_n["encoded_bytes"] / r_n["content_bytes"], 4),
+        # one digest across every trial of BOTH levels = bit-identical
+        # encoded output at N and 4N (r6 cut-purity guarantee)
+        "output_digests": sorted(str(d) for d in digests),
+        "output_byte_identical_N_4N": len(digests) == 1 and None not in digests,
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(result))
@@ -339,6 +354,20 @@ memory hierarchy). On a real cluster, 4N executors add 4x nodes and
 4x memory channels, so this artifact does not transfer; the
 clean-window pair (0.941 wall, 0.998 work) is the faithful
 dedicated-hardware estimate.
+
+**Output byte identity across cluster sizes: {
+    "IDENTICAL — every trial at BOTH levels produced the same "
+    "order-independent bit-level digest (bit_xor of xxhash64 over "
+    "chunk id + column + seq + payload bytes): "
+    + (result["output_digests"][0] if result["output_digests"] else "")
+    if result["output_byte_identical_N_4N"]
+    else "NOT identical — digests " + ", ".join(result["output_digests"])
+    + " (investigate: cut purity regression)"
+}.** The north_rule's resumable-restart story depends on this: a job
+killed at N executors and resumed at 4N appends chunks byte-identical
+to an uninterrupted run (r6 made byte-cap cuts a pure function of the
+shard's row stream; pinned by
+`test_resume_across_parallelism_byte_identical`).
 
 Compression: encoded {r_n['encoded_bytes']:,} bytes vs
 {r_n['content_bytes']:,} raw content bytes

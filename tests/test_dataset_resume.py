@@ -118,6 +118,38 @@ def test_resumed_chunks_byte_identical(spark, src, tmp):
     assert b.exceptAll(a).count() == 0
 
 
+def test_resume_across_parallelism_byte_identical(spark, src, tmp):
+    """The 100 TB restart story: a job killed on an N-executor cluster
+    and resumed on a 4N one must append chunks byte-identical to what a
+    single uninterrupted run at ANY width would have written. Byte-cap
+    pressure on salted mega-groups is forced (small group/chunk byte
+    targets) because that is exactly the regime where the pre-r6
+    slice-end byte-cap check leaked the partition count into cut
+    positions. Compares full payload bytes, not just sizes."""
+    kw = dict(
+        group_cols=["repo", "lang"],
+        target_group_bytes=64 << 10,   # multi-salt mega-groups
+        target_chunk_bytes=16 << 10,   # byte-cap cuts dominate
+    )
+    langs = [r[0] for r in src.select("lang").distinct().collect()]
+    part = src.where(F.col("lang").isin(sorted(langs)[:3]))
+    write_encoded(part, tmp, num_partitions=7, **kw)
+    assert resume_encode(src, tmp, num_partitions=23, **kw) > 0
+
+    tmp2 = tmp + "_oneshot"
+    write_encoded(src, tmp2, num_partitions=13, **kw)
+
+    def payloads(p):
+        return sorted(
+            (r["chunk_id"], r["column"], bytes(r["payload"]))
+            for r in spark.read.parquet(os.path.join(p, "chunks"))
+            .select("chunk_id", "column", "payload")
+            .collect()
+        )
+
+    assert payloads(tmp) == payloads(tmp2)
+
+
 def test_scan_filters_and_projects(spark, src, tmp):
     write_encoded(src, tmp, group_cols=["repo", "lang"])
     got = scan(spark, tmp, columns=["repo", "path"], filters=[("lang", "==", "python")])
