@@ -287,10 +287,17 @@ def _dec_plain_fixed(payload: bytes, t: pa.DataType, n_valid: int, mask) -> pa.A
 
 
 _FSST_PROFILE = {
-    # (sample_cap, max_symbols, min_count_frac)
-    "fast": (1 << 17, 96, 0.002),
-    "balanced": (1 << 18, 224, 0.0004),
-    "max": (1 << 22, 248, 0.0001),
+    # (sample_cap, sample_slice_len, max_symbols, min_count_frac)
+    # Training samples are STRIDED (fsst_mod.strided_sample): cap//slice
+    # evenly-spaced slices instead of a prefix. Measured on the 370 MB
+    # bench corpus (511 shards) vs the r5 prefix caps: balanced
+    # 2.45->1.25 train+compress CPU-s AND 37.00->35.43 MB encoded
+    # (-3.8%); fast 1.28->0.82 CPU-s at +0.7% bytes; max 7.07->4.09
+    # CPU-s at +0.8% bytes. Intentional format change (r6): goldens
+    # regenerated; decode is unaffected (tables ship in the payload).
+    "fast": (1 << 14, 256, 96, 0.002),
+    "balanced": (1 << 15, 256, 224, 0.0004),
+    "max": (1 << 19, 512, 248, 0.0001),
 }
 
 
@@ -302,8 +309,10 @@ def _enc_fsst(
     comp: bytes | None = None,
 ) -> bytes:
     if table is None:
-        cap, max_symbols, frac = _FSST_PROFILE.get(profile, _FSST_PROFILE["balanced"])
-        sample = blob if len(blob) <= cap else blob[:cap]
+        cap, sl, max_symbols, frac = _FSST_PROFILE.get(
+            profile, _FSST_PROFILE["balanced"]
+        )
+        sample = fsst_mod.strided_sample(blob, cap, sl)
         table = fsst_mod.train(
             blob, sample=sample, max_symbols=max_symbols, min_count_frac=frac
         )
@@ -727,8 +736,8 @@ def _fsst_estimate(
     the table is reused for the final encode so training cost is paid
     once per chunk. The payload itself always comes from the greedy
     encoder (one code path, bytes a pure function of (blob, table))."""
-    cap, max_symbols, frac = _FSST_PROFILE.get(profile, _FSST_PROFILE["balanced"])
-    sample = blob if len(blob) <= cap else blob[:cap]
+    cap, sl, max_symbols, frac = _FSST_PROFILE.get(profile, _FSST_PROFILE["balanced"])
+    sample = fsst_mod.strided_sample(blob, cap, sl)
     table, residual = fsst_mod.train_with_residual(
         blob, sample=sample, max_symbols=max_symbols, min_count_frac=frac
     )

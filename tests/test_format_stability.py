@@ -51,7 +51,7 @@ def test_encoded_blob_stable():
 
 # --- goldens (regenerate with scripts/regen_goldens.py) ---
 _FIXTURE_SHA = "f982717d332a2a678d293a8bfe5f0a2605d24041757978dc8e37d155934be616"
-_BLOB_GOLDENS = {'content': ('fsst', 'd44b038c276a5815'), 'lang': ('dict', '0da15ed86f3b5f8a'), 'path': ('fsst', '04bc3fbc03daec20')}
+_BLOB_GOLDENS = {'content': ('fsst', 'f431a8868d5c348b'), 'lang': ('dict', '0da15ed86f3b5f8a'), 'path': ('fsst', '04bc3fbc03daec20')}
 
 
 def test_decimal_blob_stable():
