@@ -561,3 +561,30 @@ def test_string_restore_rejects_inconsistent_lengths():
         _string_restore(
             np.array([5], dtype=np.int64), b"abc", pa.string(), None
         )
+
+
+def test_strided_sample_contract():
+    """strided_sample: <= cap bytes, pure function of the blob, whole
+    blob returned when it fits, slices drawn from across the blob (not
+    a prefix), and degenerate caps/slice lengths stay well-formed."""
+    import struct
+
+    # position-stamped blob: every 8 bytes encode their own offset, so
+    # substring membership pins WHERE a sample byte came from
+    blob = b"".join(struct.pack("<q", i) for i in range(32768))  # 256 KiB
+    assert fsst.strided_sample(blob, 1 << 20, 256) is blob  # fits: whole blob
+    s = fsst.strided_sample(blob, 1 << 14, 256)
+    assert len(s) <= (1 << 14)
+    assert s == fsst.strided_sample(blob, 1 << 14, 256)  # deterministic
+    # coverage: the sample must contain stamps from the final 2% of the
+    # blob (a prefix sample never would)
+    assert any(
+        struct.pack("<q", i) in s for i in range(32768 - 650, 32768)
+    )
+    # cap smaller than one slice: exactly cap bytes, no error
+    tiny = fsst.strided_sample(blob, 100, 256)
+    assert len(tiny) == 100
+    # slice longer than blob/steps still bounded by cap
+    wide = fsst.strided_sample(blob, 1 << 12, 1 << 13)
+    assert 0 < len(wide) <= (1 << 12)
+    assert fsst.strided_sample(b"", 1 << 14, 256) == b""
