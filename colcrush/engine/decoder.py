@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 
 from ..codecs import decode_array
 from ..codecs.dec_rescale import rescale_decimal128
+from .encoder import payload_ck
 
 
 def _spark_field_for(arrow_type: pa.DataType) -> T.DataType:
@@ -87,6 +88,7 @@ def decode_table(
     columns: list[str] | None = None,
     assume_colocated: bool = False,
     decimal_formats: dict[str, tuple[int, int]] | None = None,
+    verify_checksums: bool = True,
 ) -> DataFrame:
     """Decode a chunk DataFrame (ENCODED_DDL) back to rows.
 
@@ -103,6 +105,12 @@ def decode_table(
     ``decimal_formats``: {column: (precision, scale)} reads a stored
     decimal column at a different format, rescaling HALF_UP — the
     parquet4s rescaleOnRead contract (see _rescale_decimal).
+
+    ``verify_checksums=True`` (default) re-computes each payload's
+    stored ``payload_ck`` before decoding and raises on mismatch —
+    bit rot on a 100 TB store must fail loudly, not decode to wrong
+    rows. Datasets written before the column existed (or mixed
+    appends whose rows read as NULL) skip the check per row.
     """
     requested = set(columns or [f.name for f in schema.fields])
     missing = requested - {f.name for f in schema.fields}
@@ -129,8 +137,10 @@ def decode_table(
     )
     n_expected = len(columns)
 
+    with_ck = verify_checksums and "payload_ck" in chunks.columns
     pruned = chunks.where(chunks["column"].isin(columns)).select(
-        "chunk_id", "column", "payload"
+        "chunk_id", "column", "payload",
+        *(["payload_ck"] if with_ck else []),
     )
     if not assume_colocated:
         # partition count from spark.sql.shuffle.partitions (+ AQE
@@ -145,9 +155,18 @@ def decode_table(
             cids = batch.column("chunk_id").to_pylist()
             cols = batch.column("column").to_pylist()
             payloads = batch.column("payload")
+            cks = batch.column("payload_ck").to_pylist() if with_ck else None
             for i, cid in enumerate(cids):
                 d = pending.setdefault(cid, {})
-                d[cols[i]] = payloads[i].as_py()
+                d[cols[i]] = blob = payloads[i].as_py()
+                # NULL ck = row predates the checksum column: skip
+                if cks is not None and cks[i] is not None:
+                    if payload_ck(blob) != cks[i]:
+                        raise ValueError(
+                            f"chunk integrity failure: payload checksum "
+                            f"mismatch for chunk {cid} column {cols[i]} "
+                            f"({len(blob)} bytes) — storage corruption?"
+                        )
                 if len(d) == n_expected:
                     arrays = [
                         _rescale_decimal(decode_array(d[c]), *decimal_formats[c])

@@ -37,14 +37,29 @@ ENCODED_DDL = (
     "chunk_id string, group_key string, salt int, seq bigint, column string, "
     "codec string, n_rows bigint, n_nulls bigint, raw_bytes bigint, "
     "enc_bytes bigint, dict_size bigint, min_s string, max_s string, "
-    "min_d double, max_d double, bloom array<bigint>, payload binary"
+    "min_d double, max_d double, bloom array<bigint>, payload binary, "
+    "payload_ck bigint"
 )
 
 MANIFEST_COLS = [
     "chunk_id", "group_key", "salt", "seq", "column", "codec", "n_rows",
     "n_nulls", "raw_bytes", "enc_bytes", "dict_size", "min_s", "max_s",
-    "min_d", "max_d", "bloom",
+    "min_d", "max_d", "bloom", "payload_ck",
 ]
+
+
+def payload_ck(blob: bytes) -> int:
+    """Integrity checksum of an encoded payload: md5 prefix as a signed
+    int64 (Spark bigint). At 100 TB chunk payloads live for years on
+    object stores and disks where bit rot is routine; the decoder
+    re-computes this before decoding and fails LOUDLY on mismatch
+    instead of silently returning corrupted rows. md5 (stdlib,
+    deterministic everywhere, ~0.5 GB/s/core) over ENCODED bytes (~10x
+    smaller than content) costs <1% of encode CPU. Checksums ride in
+    the chunk rows AND the manifest; payload bytes themselves are
+    unchanged, so chunk ids, format goldens, and N-vs-4N byte identity
+    are untouched."""
+    return int.from_bytes(hashlib.md5(blob).digest()[:8], "big", signed=True)
 
 _STAT_TRUNC = 64
 
@@ -182,7 +197,7 @@ def _chunk_bloom(arr: pa.Array) -> "list[int] | None":
 _OUT_COLS = (
     "chunk_id", "group_key", "salt", "seq", "column", "codec", "n_rows",
     "n_nulls", "raw_bytes", "enc_bytes", "dict_size", "min_s", "max_s",
-    "min_d", "max_d", "bloom", "payload",
+    "min_d", "max_d", "bloom", "payload", "payload_ck",
 )
 
 # target size for OUTPUT record batches: encoded rows of many chunks
@@ -283,6 +298,7 @@ def _rows_to_batch(rows: dict) -> pa.RecordBatch:
             pa.array(rows["max_d"], type=pa.float64()),
             pa.array(rows["bloom"], type=pa.list_(pa.int64())),
             pa.array(rows["payload"], type=pa.binary()),
+            pa.array(rows["payload_ck"], type=pa.int64()),
         ],
         names=list(_OUT_COLS),
     )
@@ -331,6 +347,7 @@ def _encode_chunk_into(
             else None
         )
         rows["payload"].append(blob)
+        rows["payload_ck"].append(payload_ck(blob))
         added += len(blob)
     return added
 

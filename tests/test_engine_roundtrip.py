@@ -319,3 +319,50 @@ def test_chunk_identity_independent_of_partition_count(spark):
     a = manifest(7)
     b = manifest(23)
     assert a == b
+
+
+def test_payload_checksum_integrity(spark, src):
+    """Every encoded chunk row carries payload_ck = md5-prefix int64 of
+    its payload; the decoder verifies it (bit rot at 100 TB must fail
+    loudly, never silently decode wrong rows); legacy datasets without
+    the column and NULL-ck rows from mixed appends still decode."""
+    import pyarrow as pa
+    from colcrush.engine.encoder import payload_ck
+
+    enc = encode_table(src, group_cols=["repo", "lang"]).cache()
+    try:
+        # 1. stored checksums are the declared function of the payload
+        sample = enc.select("payload", "payload_ck").limit(20).collect()
+        assert sample and all(
+            r["payload_ck"] == payload_ck(bytes(r["payload"])) for r in sample
+        )
+
+        # 2. a flipped payload byte fails the decode loudly
+        def tamper(it):
+            for batch in it:
+                d = batch.to_pydict()
+                d["payload"] = [
+                    (bytes(p[:-1]) + bytes([p[-1] ^ 0x01])) if p else p
+                    for p in d["payload"]
+                ]
+                yield pa.RecordBatch.from_pydict(
+                    d, schema=batch.schema
+                )
+
+        tampered = enc.mapInArrow(tamper, enc.schema)
+        with pytest.raises(Exception, match="chunk integrity failure"):
+            decode_table(tampered, src.schema).count()
+
+        # 3. legacy dataset (no checksum column) still decodes; the
+        # structural length validation remains the backstop for
+        # tampered payloads when verification is off
+        legacy = enc.drop("payload_ck")
+        assert decode_table(legacy, src.schema).count() == N_ROWS
+
+        # 4. NULL ck (mixed append: rows written before the column) skips
+        nulled = enc.withColumn(
+            "payload_ck", F.lit(None).cast("bigint")
+        )
+        assert decode_table(nulled, src.schema).count() == N_ROWS
+    finally:
+        enc.unpersist()
