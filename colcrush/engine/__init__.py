@@ -9,6 +9,7 @@ from .dataset import (
     read_manifest,
     read_schema,
     resume_encode,
+    verify_dataset,
     write_encoded,
 )
 from .decoder import decode_table
@@ -27,6 +28,7 @@ __all__ = [
     "read_decoded",
     "compact_epochs",
     "register_view",
+    "verify_dataset",
     "scan",
     "count_rows",
     "column_min_max",

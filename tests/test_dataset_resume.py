@@ -357,3 +357,54 @@ def test_resume_reuses_recorded_salt_plan(spark, src, tmp, monkeypatch):
     more = src.withColumn("lang", F.concat(F.col("lang"), F.lit("_x")))
     assert resume_encode(src.unionAll(more), tmp, group_cols=["repo", "lang"]) > 0
     assert read_decoded(spark, tmp).count() == src.count() * 2
+
+
+def test_verify_dataset_fsck(spark, src, tmp):
+    """verify_dataset: clean dataset passes shallow + deep; a manifest
+    row without its chunk (lost file) and a chunk/manifest checksum
+    divergence are each counted and flip ok=False; a legacy dataset
+    (pre-checksum columns) reports unchecked payloads, not failures."""
+    from colcrush.engine import read_chunks, verify_dataset
+    from colcrush.engine.dataset import MANIFEST_DIR
+
+    write_encoded(src, tmp, group_cols=["repo", "lang"])
+    report = verify_dataset(spark, tmp, deep=True)
+    assert report["ok"] and report["keys"] > 0
+    assert report["payload_ck_mismatches"] == 0
+    assert report["payloads_unchecked"] == 0
+
+    # plant a manifest row whose chunk does not exist (lost chunk file)
+    phantom = read_manifest(spark, tmp).limit(1).withColumn(
+        "chunk_id", F.lit("phantom-chunk")
+    )
+    phantom.write.mode("append").parquet(os.path.join(tmp, MANIFEST_DIR))
+    report = verify_dataset(spark, tmp)
+    assert report["missing_in_chunks"] == 1 and not report["ok"]
+
+    # divergent stored checksums (manifest copy vs chunk copy)
+    tmp2 = tmp + "_ck"
+    write_encoded(src, tmp2, group_cols=["repo", "lang"])
+    chunks_dir = os.path.join(tmp2, "chunks")
+    rewritten = read_chunks(spark, tmp2).withColumn(
+        "payload_ck", F.col("payload_ck") + F.lit(1)
+    ).cache()
+    rewritten.count()
+    shutil.rmtree(chunks_dir)
+    rewritten.write.parquet(chunks_dir)
+    report = verify_dataset(spark, tmp2, deep=True)
+    assert report["metadata_ck_mismatches"] > 0
+    assert report["payload_ck_mismatches"] > 0  # bytes no longer match
+    assert not report["ok"]
+
+    # legacy dataset: strip the checksum columns everywhere
+    tmp3 = tmp + "_legacy"
+    write_encoded(src, tmp3, group_cols=["repo", "lang"])
+    for sub in ("chunks", "manifest"):
+        d = os.path.join(tmp3, sub)
+        stripped = spark.read.parquet(d).drop("payload_ck").cache()
+        stripped.count()
+        shutil.rmtree(d)
+        stripped.write.parquet(d)
+    report = verify_dataset(spark, tmp3, deep=True)
+    assert report["ok"]
+    assert report["payloads_unchecked"] == report["keys"]
