@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 from . import fsio
 from .decoder import decode_table
 from .encoder import (
+    ENCODED_DDL,
     MANIFEST_COLS,
     encode_table,
     group_key_expr,
@@ -155,24 +156,39 @@ def _direct_committed(path: str) -> bool:
     return fsio.exists(fsio.join(path, MANIFEST_DIR, "_SUCCESS"))
 
 
+# Explicit read schemas: a dataset appended to across format revisions
+# holds parquet files with and without the r6 payload_ck column, and
+# plain spark.read.parquet infers the schema from ONE arbitrary footer
+# — checksums would nondeterministically vanish (and compact_epochs
+# would then drop them permanently). Reading with the declared schema
+# fills absent columns with NULL deterministically, and unlike
+# mergeSchema costs zero footer reads — which matters when chunks/ is
+# millions of files at 100 TB.
+_MANIFEST_DDL = ", ".join(
+    f for f in ENCODED_DDL.split(", ") if not f.startswith("payload ")
+)
+
+
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     direct = fsio.join(path, MANIFEST_DIR)
+    reader = spark.read.schema(_MANIFEST_DDL)
     if _direct_committed(path):
-        return spark.read.parquet(direct)
+        return reader.parquet(direct)
     epochs = _committed_epoch_dirs(path)
     if epochs:
-        return spark.read.parquet(*[fsio.join(e, MANIFEST_DIR) for e in epochs])
-    return spark.read.parquet(direct)  # raise Spark's own path error
+        return reader.parquet(*[fsio.join(e, MANIFEST_DIR) for e in epochs])
+    return reader.parquet(direct)  # raise Spark's own path error
 
 
 def read_chunks(spark: SparkSession, path: str) -> DataFrame:
     direct = fsio.join(path, CHUNKS_DIR)
+    reader = spark.read.schema(ENCODED_DDL)
     if _direct_committed(path):
-        return spark.read.parquet(direct)
+        return reader.parquet(direct)
     epochs = _committed_epoch_dirs(path)
     if epochs:
-        return spark.read.parquet(*[fsio.join(e, CHUNKS_DIR) for e in epochs])
-    return spark.read.parquet(direct)
+        return reader.parquet(*[fsio.join(e, CHUNKS_DIR) for e in epochs])
+    return reader.parquet(direct)
 
 
 COMPACTED_FILE = "_compacted.json"
@@ -228,13 +244,17 @@ def compact_epochs(spark: SparkSession, path: str) -> int:
         return 0
     if not epochs:
         return 0
-    chunks = spark.read.parquet(*[fsio.join(e, CHUNKS_DIR) for e in epochs])
+    # explicit schemas: epochs written across the payload_ck format
+    # revision must compact deterministically (see read_chunks note)
+    chunks = spark.read.schema(ENCODED_DDL).parquet(
+        *[fsio.join(e, CHUNKS_DIR) for e in epochs]
+    )
     (
         chunks.write.mode("overwrite")
         .option("compression", "uncompressed")
         .parquet(fsio.join(path, CHUNKS_DIR))
     )
-    manifest = spark.read.parquet(
+    manifest = spark.read.schema(_MANIFEST_DDL).parquet(
         *[fsio.join(e, MANIFEST_DIR) for e in epochs]
     )
     fsio.write_text(
@@ -290,9 +310,19 @@ def verify_dataset(
     when deep); returns a dict of counts with ``ok``.
 
     Datasets written before the checksum column report their payloads
-    as ``payloads_unchecked`` rather than failing."""
-    manifest = read_manifest(spark, path)
+    as ``payloads_unchecked`` rather than failing. A write that crashed
+    before creating any manifest (chunks exist, manifest dir absent)
+    reports every chunk as ``missing_in_manifest`` instead of raising
+    Spark's path error. The audit covers COMMITTED data: epoch dirs
+    without a committed manifest are invisible to readers by protocol
+    and are not scanned here."""
+    from pyspark.errors import AnalysisException
+
     chunks = read_chunks(spark, path)
+    try:
+        manifest = read_manifest(spark, path)
+    except AnalysisException:
+        manifest = spark.createDataFrame([], _MANIFEST_DDL)
     key = ["chunk_id", "column"]
     m_ck = (
         F.col("payload_ck")
@@ -337,9 +367,17 @@ def verify_dataset(
                 payloads = batch.column("payload")
                 bad = unchecked = 0
                 for i, ck in enumerate(cks):
-                    if ck is None:
+                    blob = payloads[i].as_py()
+                    if blob is None:
+                        # a NULL payload with a stored checksum IS
+                        # corruption; without one it is unauditable
+                        if ck is None:
+                            unchecked += 1
+                        else:
+                            bad += 1
+                    elif ck is None:
                         unchecked += 1
-                    elif payload_ck(payloads[i].as_py()) != ck:
+                    elif payload_ck(blob) != ck:
                         bad += 1
                 yield pa.record_batch(
                     [
@@ -402,10 +440,10 @@ def resume_encode(
         if fsio.exists(fsio.join(chunks_path, "_SUCCESS")):
             # crashed between chunk write and manifest commit: the chunk
             # job itself completed (_SUCCESS), so recover the manifest.
-            # Select only the manifest columns the chunk files actually
-            # carry — a dataset written before the bloom column existed
-            # must stay recoverable (legacy manifests simply lack it)
-            chunk_rows = spark.read.parquet(chunks_path)
+            # Explicit read schema: columns the legacy chunk files lack
+            # (bloom, payload_ck) surface as NULL — a dataset written
+            # before they existed stays recoverable, deterministically
+            chunk_rows = spark.read.schema(ENCODED_DDL).parquet(chunks_path)
             manifest = chunk_rows.select(
                 *[c for c in MANIFEST_COLS if c in chunk_rows.columns]
             )

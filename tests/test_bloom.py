@@ -217,10 +217,14 @@ def test_legacy_crash_recovery_without_bloom_column(spark, tmp_path):
 
     shutil.rmtree(f"{path}/{MANIFEST_DIR}")
 
-    # recovery must succeed and report nothing missing
+    # recovery must succeed and report nothing missing; the explicit
+    # read schema (r6) surfaces the absent bloom column as all-NULL —
+    # deterministic across footer sampling — rather than dropping it
     assert resume_encode(cust, path, group_cols=["c_mktsegment"]) == 0
     m = read_manifest(spark, path)
-    assert "bloom" not in m.columns
+    import pyspark.sql.functions as F
+
+    assert m.where(F.col("bloom").isNotNull()).count() == 0
     assert m.select("chunk_id").distinct().count() > 0
 
 

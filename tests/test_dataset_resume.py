@@ -381,16 +381,17 @@ def test_verify_dataset_fsck(spark, src, tmp):
     report = verify_dataset(spark, tmp)
     assert report["missing_in_chunks"] == 1 and not report["ok"]
 
-    # divergent stored checksums (manifest copy vs chunk copy)
+    # divergent stored checksums (manifest copy vs chunk copy):
+    # rewrite via a temp dir + rename — a cached-DF-over-deleted-files
+    # pattern would flake on block eviction
     tmp2 = tmp + "_ck"
     write_encoded(src, tmp2, group_cols=["repo", "lang"])
     chunks_dir = os.path.join(tmp2, "chunks")
-    rewritten = read_chunks(spark, tmp2).withColumn(
+    read_chunks(spark, tmp2).withColumn(
         "payload_ck", F.col("payload_ck") + F.lit(1)
-    ).cache()
-    rewritten.count()
+    ).write.parquet(chunks_dir + ".new")
     shutil.rmtree(chunks_dir)
-    rewritten.write.parquet(chunks_dir)
+    os.rename(chunks_dir + ".new", chunks_dir)
     report = verify_dataset(spark, tmp2, deep=True)
     assert report["metadata_ck_mismatches"] > 0
     assert report["payload_ck_mismatches"] > 0  # bytes no longer match
@@ -401,10 +402,17 @@ def test_verify_dataset_fsck(spark, src, tmp):
     write_encoded(src, tmp3, group_cols=["repo", "lang"])
     for sub in ("chunks", "manifest"):
         d = os.path.join(tmp3, sub)
-        stripped = spark.read.parquet(d).drop("payload_ck").cache()
-        stripped.count()
+        spark.read.parquet(d).drop("payload_ck").write.parquet(d + ".new")
         shutil.rmtree(d)
-        stripped.write.parquet(d)
+        os.rename(d + ".new", d)
     report = verify_dataset(spark, tmp3, deep=True)
     assert report["ok"]
     assert report["payloads_unchecked"] == report["keys"]
+
+    # crashed write: chunks committed, manifest dir never created
+    tmp4 = tmp + "_nomanifest"
+    write_encoded(src, tmp4, group_cols=["repo", "lang"])
+    shutil.rmtree(os.path.join(tmp4, "manifest"))
+    report = verify_dataset(spark, tmp4)
+    assert report["missing_in_manifest"] == report["keys"] > 0
+    assert not report["ok"]
