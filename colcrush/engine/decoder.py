@@ -161,11 +161,15 @@ def decode_table(
                 d[cols[i]] = blob = payloads[i].as_py()
                 # NULL ck = row predates the checksum column: skip
                 if cks is not None and cks[i] is not None:
-                    if payload_ck(blob) != cks[i]:
+                    # a NULL payload under a non-null checksum IS
+                    # corruption (the payload column was lost) — raise
+                    # the descriptive failure, not hashlib's TypeError
+                    if blob is None or payload_ck(blob) != cks[i]:
+                        nb = "NULL" if blob is None else f"{len(blob)} bytes"
                         raise ValueError(
                             f"chunk integrity failure: payload checksum "
                             f"mismatch for chunk {cid} column {cols[i]} "
-                            f"({len(blob)} bytes) — storage corruption?"
+                            f"({nb}) — storage corruption?"
                         )
                 if len(d) == n_expected:
                     arrays = [

@@ -242,7 +242,12 @@ def _row_sizes(arr: pa.Array) -> np.ndarray:
         cs = np.concatenate(([0], np.cumsum(child)))
         return cs[off[1:]] - cs[off[:-1]] + width
     if pa.types.is_fixed_size_list(t):
-        child = _row_sizes(arr.values)
+        # arr.values ignores the slice offset (unlike the varlen list
+        # branches, whose offsets are absolute into the child) — index
+        # the child window explicitly so sliced batches size correctly
+        child = _row_sizes(
+            arr.values.slice(arr.offset * t.list_size, n * t.list_size)
+        )
         return child.reshape(n, t.list_size).sum(axis=1)
     if pa.types.is_struct(t):
         total = np.zeros(n, dtype=np.int64)

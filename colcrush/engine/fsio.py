@@ -56,15 +56,19 @@ def _s3(path: str):
     from pyarrow import fs as pafs
 
     endpoint = os.environ.get("AWS_ENDPOINT_URL") or None
-    if endpoint not in _s3_cache:
+    region = os.environ.get("AWS_REGION") or os.environ.get(
+        "AWS_DEFAULT_REGION"
+    )
+    # cache on the full resolution inputs: keying on endpoint alone
+    # silently reused a stale client after an in-process region or
+    # credential change (long-lived services rotate keys)
+    cache_key = (endpoint, region, os.environ.get("AWS_ACCESS_KEY_ID"))
+    if cache_key not in _s3_cache:
         kwargs = {"endpoint_override": endpoint} if endpoint else {}
-        region = os.environ.get("AWS_REGION") or os.environ.get(
-            "AWS_DEFAULT_REGION"
-        )
         if region:
             kwargs["region"] = region
-        _s3_cache[endpoint] = pafs.S3FileSystem(**kwargs)
-    return _s3_cache[endpoint], path[len("s3://") :].rstrip("/")
+        _s3_cache[cache_key] = pafs.S3FileSystem(**kwargs)
+    return _s3_cache[cache_key], path[len("s3://") :].rstrip("/")
 
 
 def join(path: str, *parts: str) -> str:

@@ -420,6 +420,33 @@ def test_encode_fn_byte_cap_cut_purity(group_sizes, byte_cap, batch_rows):
     assert a == chunks(1)                 # row-at-a-time batches
 
 
+def test_row_sizes_sliced_fixed_size_list():
+    """_row_sizes on a SLICED FixedSizeListArray must size the slice's
+    own rows: arr.values ignores the slice offset (unlike the varlen
+    list branches whose offsets are absolute), which used to raise
+    ValueError on the reshape — an inconsistency waiting for the first
+    sliced batch (r6 ADVICE)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from colcrush.engine.encoder import _row_sizes
+
+    full = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.arange(24, dtype=np.int64)), 4
+    )
+    whole = _row_sizes(full)
+    assert whole.tolist() == [32] * 6
+    sl = full.slice(2, 3)
+    assert _row_sizes(sl).tolist() == whole[2:5].tolist()
+    # mixed element widths (strings) pin that the WINDOW is correct,
+    # not just the count
+    s = pa.FixedSizeListArray.from_arrays(
+        pa.array([f"x{'y' * i}" for i in range(8)]), 2
+    )
+    expected = _row_sizes(s).tolist()
+    assert _row_sizes(s.slice(1, 2)).tolist() == expected[1:3]
+
+
 @given(
     st.lists(
         st.one_of(

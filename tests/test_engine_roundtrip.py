@@ -364,5 +364,14 @@ def test_payload_checksum_integrity(spark, src):
             "payload_ck", F.lit(None).cast("bigint")
         )
         assert decode_table(nulled, src.schema).count() == N_ROWS
+
+        # 5. a NULL payload under a NON-null checksum is itself
+        # corruption (payload column lost) — the decoder must raise the
+        # descriptive integrity ValueError, not hashlib's TypeError
+        lost = enc.withColumn(
+            "payload", F.lit(None).cast("binary")
+        )
+        with pytest.raises(Exception, match="chunk integrity failure"):
+            decode_table(lost, src.schema).count()
     finally:
         enc.unpersist()
