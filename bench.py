@@ -201,13 +201,15 @@ def bench_encode(spark, n_rows: int, profile: str, parquet_oracle: bool = True):
     # parquet-mr oracle sizes. The parquet4s-default reference is
     # dictionary-enabled parquet with the parquet-mr DEFAULT codec =
     # UNCOMPRESSED (/root/reference/core/src/main/scala/com/github/
-    # mjakubowski84/parquet4s/ParquetWriter.scala:79-84); snappy is
-    # reported as a stretch reference.
-    pq_sizes = {"uncompressed": 0, "snappy": 0}
+    # mjakubowski84/parquet4s/ParquetWriter.scala:79-84); snappy and
+    # zstd are reported as stretch references — zstd is what a real
+    # 100 TB deployment would actually compare against (the graded
+    # BASELINE.json oracle stays parquet-dict).
+    pq_sizes = {"uncompressed": 0, "snappy": 0, "zstd": 0}
     if parquet_oracle:
         tmp = tempfile.mkdtemp(prefix="colcrush_bench_")
         try:
-            for codec in ("uncompressed", "snappy"):
+            for codec in ("uncompressed", "snappy", "zstd"):
                 pq_dir = os.path.join(tmp, f"pq_{codec}")
                 src.write.option("compression", codec).parquet(pq_dir)
                 pq_sizes[codec] = sum(
@@ -246,6 +248,7 @@ def bench_encode(spark, n_rows: int, profile: str, parquet_oracle: bool = True):
         "encoded_bytes": enc_bytes,
         "parquet_none_bytes": int(pq_sizes["uncompressed"]),
         "parquet_snappy_bytes": int(pq_bytes),
+        "parquet_zstd_bytes": int(pq_sizes["zstd"]),
         "encode_sec": round(encode_s, 3),
         "decode_sec": round(decode_s, 3),
         "projected_decode_sec": round(projected_s, 3),
@@ -272,6 +275,7 @@ def bench_encode(spark, n_rows: int, profile: str, parquet_oracle: bool = True):
         "ratio_vs_raw": round(enc_bytes / total_raw, 4),
         "ratio_vs_parquet_none": round(enc_bytes / pq_sizes["uncompressed"], 4),
         "ratio_vs_parquet_snappy": round(enc_bytes / pq_bytes, 4),
+        "ratio_vs_parquet_zstd": round(enc_bytes / pq_sizes["zstd"], 4),
     }
 
 
@@ -311,17 +315,22 @@ def persisted_decode_probe(spark, n_rows: int) -> dict:
     }
 
 
+def _latest_record(name: str) -> dict:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", name)
+    try:
+        with open(path) as f:
+            lines = [ln for ln in f if ln.strip()]
+        return json.loads(lines[-1])
+    except (OSError, ValueError, IndexError):
+        return {}
+
+
 def _campaign_projection() -> dict:
     """Latest pinned 4M-row decode-campaign projection figures
     (BENCH/history_decode.jsonl) with provenance — see the
     projected-decode continuity rule in the module docstring."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "history_decode.jsonl"
-    )
+    rec = _latest_record("history_decode.jsonl")
     try:
-        with open(path) as f:
-            lines = [ln for ln in f if ln.strip()]
-        rec = json.loads(lines[-1])
         return {
             "projected_decode_speedup_campaign": round(
                 rec["best_proj_gbps_N"] / rec["best_gbps_N"], 2
@@ -329,8 +338,90 @@ def _campaign_projection() -> dict:
             "campaign_decode_rows": int(rec["rows"]),
             "campaign_decode_pinned": bool(rec.get("pinned", False)),
         }
-    except (OSError, KeyError, ValueError, IndexError, ZeroDivisionError):
+    except (KeyError, ValueError, ZeroDivisionError):
         return {}
+
+
+def _campaign_scaling() -> dict:
+    """Latest N-vs-4N campaign gate statistics (scripts/scaling_bench.py
+    + scripts/decode_scaling.py, BENCH/history*.jsonl) so the driver's
+    headline line carries the scaling evidence without re-running the
+    60-90 min campaigns inside bench.py."""
+    out = {}
+    enc = _latest_record("history.jsonl")
+    if "scaling_efficiency_median_pairs" in enc:
+        out["scaling_encode_wall_med"] = enc["scaling_efficiency_median_pairs"]
+    if "work_efficiency_cpu" in enc:
+        out["scaling_encode_work_eff"] = enc["work_efficiency_cpu"]
+    if "output_byte_identical_N_4N" in enc:
+        out["scaling_output_byte_identical"] = enc["output_byte_identical_N_4N"]
+    dec = _latest_record("history_decode.jsonl")
+    if "median_pair_eff_full" in dec:
+        out["scaling_decode_wall_med"] = dec["median_pair_eff_full"]
+    if "median_pair_eff_projected" in dec:
+        out["scaling_decode_projected_med"] = dec["median_pair_eff_projected"]
+    if "work_efficiency_median" in dec:
+        out["scaling_decode_work_eff"] = dec["work_efficiency_median"]
+    return out
+
+
+# ---- headline line construction -------------------------------------
+#
+# The driver records only the LAST ~2000 chars of stdout; round 6's
+# single JSON line outgrew that window and the round's bench came back
+# parsed:null (decapitated head). The full detail record now goes to
+# STDERR ("DETAIL {...}"), and the one stdout line is a compact
+# headline built from the whitelist below — required driver-contract
+# keys first, then gate/continuity stats in priority order, dropped
+# from the tail if the line would approach the window.
+_HEADLINE_REQUIRED = ("metric", "value", "unit", "queries", "sf", "cpus")
+_HEADLINE_OPTIONAL = (
+    # compression gate (BASELINE.json oracle + stretch references)
+    "encoded_bytes",
+    "ratio_vs_raw",
+    "ratio_vs_parquet_none",
+    "ratio_vs_parquet_snappy",
+    "ratio_vs_parquet_zstd",
+    # per-CPU continuity series (pinned exec8 shape, CONTINUITY RULE)
+    "exec8_encode_mbps_content_per_cpu",
+    "exec8_decode_mbps_raw_per_cpu",
+    "exec8_pinned",
+    "exec8_projected_decode_speedup_persisted",
+    # N-vs-4N scaling gate (latest campaign, BENCH/history*.jsonl)
+    "scaling_encode_wall_med",
+    "scaling_encode_work_eff",
+    "scaling_decode_wall_med",
+    "scaling_decode_projected_med",
+    "scaling_decode_work_eff",
+    "scaling_output_byte_identical",
+    # projected-decode continuity (module docstring rule)
+    "projected_decode_speedup_campaign",
+    "campaign_decode_rows",
+    "campaign_decode_pinned",
+    # this-run wall throughput (local[32] primary)
+    "encode_sec",
+    "decode_sec",
+    "encode_gbps_content",
+    "decode_gbps_raw",
+    "encode_mbps_content_per_cpu",
+    "decode_mbps_raw_per_cpu",
+)
+_HEADLINE_BUDGET = 1800
+
+
+def _headline(full: dict) -> str:
+    """Compact final-stdout-line JSON: required keys + as many optional
+    keys (in priority order) as fit the budget."""
+    line_of = lambda d: json.dumps(d, separators=(",", ":"))  # noqa: E731
+    out = {k: full[k] for k in _HEADLINE_REQUIRED if k in full}
+    for k in _HEADLINE_OPTIONAL:
+        if k not in full:
+            continue
+        out[k] = full[k]
+        if len(line_of(out)) > _HEADLINE_BUDGET:
+            del out[k]
+            break
+    return line_of(out)
 
 
 def _exec8_child_main():
@@ -463,9 +554,14 @@ def main():
         **bloom_stats,
         **enc,
         **_campaign_projection(),
+        **_campaign_scaling(),
         **exec8,
     }
-    print(json.dumps(out))
+    # full record to stderr (and nothing else on stdout after the
+    # headline): the driver tails stdout's last ~2000 chars — see the
+    # headline-construction comment above
+    print("DETAIL " + json.dumps(out), file=sys.stderr)
+    print(_headline(out), flush=True)
 
 
 if __name__ == "__main__":
