@@ -288,7 +288,10 @@ def read_decoded(
 
 
 def verify_dataset(
-    spark: SparkSession, path: str, deep: bool = False
+    spark: SparkSession,
+    path: str,
+    deep: "bool | float" = False,
+    scrub_slice: int = 0,
 ) -> dict:
     """fsck for an encoded dataset: cross-check manifest against chunk
     files and (``deep=True``) scrub every payload's stored checksum.
@@ -315,7 +318,17 @@ def verify_dataset(
     reports every chunk as ``missing_in_manifest`` instead of raising
     Spark's path error. The audit covers COMMITTED data: epoch dirs
     without a committed manifest are invisible to readers by protocol
-    and are not scanned here."""
+    and are not scanned here.
+
+    ``deep`` may also be a FRACTION in (0, 1): ``deep=True`` reads
+    every payload byte — right for a one-off audit, too expensive as a
+    SCHEDULED scrub at 100 TB. A fraction scrubs a deterministic
+    1/round(1/deep) slice of (chunk_id, column) keys selected by
+    ``pmod(xxhash64(chunk_id, column), n_slices) == scrub_slice`` —
+    pure metadata, no RNG state — so a scheduler stepping
+    ``scrub_slice`` 0,1,2,... covers DISJOINT slices and the whole
+    dataset every n_slices passes (the object-store rolling-scrub
+    pattern). ``payloads_scanned`` reports the slice size."""
     from pyspark.errors import AnalysisException
 
     chunks = read_chunks(spark, path)
@@ -358,6 +371,18 @@ def verify_dataset(
     if deep:
         import pyarrow as pa
 
+        if deep is not True:
+            f = float(deep)
+            if not (0.0 < f < 1.0):
+                raise ValueError(
+                    f"deep must be True/False or a fraction in (0,1), got {deep!r}"
+                )
+            n_slices = max(1, round(1.0 / f))
+            chunks = chunks.where(
+                F.pmod(
+                    F.xxhash64("chunk_id", "column"), F.lit(n_slices)
+                ) == F.lit(scrub_slice % n_slices)
+            )
         sel = chunks.select("payload", c_ck.alias("stored_ck"))
 
         def scrub(it):
@@ -383,17 +408,23 @@ def verify_dataset(
                     [
                         pa.array([bad], type=pa.int64()),
                         pa.array([unchecked], type=pa.int64()),
+                        pa.array([batch.num_rows], type=pa.int64()),
                     ],
-                    names=["bad", "unchecked"],
+                    names=["bad", "unchecked", "n"],
                 )
 
         agg = (
-            sel.mapInArrow(scrub, "bad bigint, unchecked bigint")
-            .agg(F.sum("bad").alias("b"), F.sum("unchecked").alias("u"))
+            sel.mapInArrow(scrub, "bad bigint, unchecked bigint, n bigint")
+            .agg(
+                F.sum("bad").alias("b"),
+                F.sum("unchecked").alias("u"),
+                F.sum("n").alias("n"),
+            )
             .collect()[0]
         )
         out["payload_ck_mismatches"] = int(agg["b"] or 0)
         out["payloads_unchecked"] = int(agg["u"] or 0)
+        out["payloads_scanned"] = int(agg["n"] or 0)
     out["ok"] = not (
         out["missing_in_chunks"]
         or out["missing_in_manifest"]

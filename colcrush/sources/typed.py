@@ -134,5 +134,25 @@ def read_typed_df(spark: SparkSession, path: str, cls) -> DataFrame:
 
 
 def read_typed(spark: SparkSession, path: str, cls) -> list:
-    """ParquetReader.as[T].read: materialized typed records."""
+    """ParquetReader.as[T].read: materialized typed records.
+
+    Collects the WHOLE dataset to the driver — fine for the
+    reference-parity convenience case, wrong for large reads; use
+    :func:`iter_typed` for a bounded-memory lazy pass."""
     return [_row_to_dataclass(r, cls) for r in read_typed_df(spark, path, cls).collect()]
+
+
+def iter_typed(spark: SparkSession, path: str, cls):
+    """Lazy typed iteration with bounded driver memory.
+
+    The reference's ParquetIterable is a LAZY closeable iterator
+    (ParquetIterable.scala:207-220) — ``read_typed`` matches its
+    materialized ``.read`` convenience but not its memory profile.
+    This generator streams via ``toLocalIterator``, which holds at
+    most one partition's rows on the driver at a time, so a 100 TB
+    dataset can be consumed record-by-record. Partial consumption
+    simply abandons the generator (Spark tears the fetch down); the
+    per-partition jobs run sequentially, so prefer the distributed
+    DataFrame API when the work itself can run on the cluster."""
+    for r in read_typed_df(spark, path, cls).toLocalIterator():
+        yield _row_to_dataclass(r, cls)

@@ -416,3 +416,74 @@ def test_verify_dataset_fsck(spark, src, tmp):
     report = verify_dataset(spark, tmp4)
     assert report["missing_in_manifest"] == report["keys"] > 0
     assert not report["ok"]
+
+
+def test_verify_dataset_sampled_scrub(spark, src, tmp):
+    """deep=<fraction> scrubs a deterministic xxhash64-selected slice of
+    (chunk_id, column) keys: successive scrub_slice values cover
+    DISJOINT slices that sum to the whole dataset, and a planted payload
+    corruption is caught exactly when its slice is scrubbed — the
+    scheduled rolling-scrub pattern a 100 TB store needs (deep=True
+    reads every payload byte, too expensive on a schedule)."""
+    from colcrush.engine import read_chunks, verify_dataset
+
+    write_encoded(src, tmp, group_cols=["repo", "lang"])
+    n_slices = 4  # deep=0.25
+
+    # slice sizes are deterministic and partition the key set
+    sizes = {
+        k: verify_dataset(spark, tmp, deep=0.25, scrub_slice=k)[
+            "payloads_scanned"
+        ]
+        for k in range(n_slices)
+    }
+    total = verify_dataset(spark, tmp, deep=True)["payloads_scanned"]
+    assert sum(sizes.values()) == total > 0
+    assert sizes == {
+        k: verify_dataset(spark, tmp, deep=0.25, scrub_slice=k)[
+            "payloads_scanned"
+        ]
+        for k in range(n_slices)
+    }
+    # scrub_slice wraps modulo n_slices
+    assert (
+        verify_dataset(spark, tmp, deep=0.25, scrub_slice=n_slices)[
+            "payloads_scanned"
+        ]
+        == sizes[0]
+    )
+
+    # plant one corrupted payload; find which slice its key hashes into
+    target = read_chunks(spark, tmp).select("chunk_id", "column").first()
+    bad_slice = (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit(target["chunk_id"]), F.lit(target["column"])),
+                F.lit(n_slices),
+            ).alias("s")
+        )
+        .first()["s"]
+    )
+    chunks_dir = os.path.join(tmp, "chunks")
+    read_chunks(spark, tmp).withColumn(
+        "payload",
+        F.when(
+            (F.col("chunk_id") == target["chunk_id"])
+            & (F.col("column") == target["column"]),
+            F.concat(F.col("payload"), F.lit(bytearray(b"\x00"))),
+        ).otherwise(F.col("payload")),
+    ).write.parquet(chunks_dir + ".new")
+    shutil.rmtree(chunks_dir)
+    os.rename(chunks_dir + ".new", chunks_dir)
+
+    hit = verify_dataset(spark, tmp, deep=0.25, scrub_slice=bad_slice)
+    assert hit["payload_ck_mismatches"] == 1 and not hit["ok"]
+    miss = verify_dataset(
+        spark, tmp, deep=0.25, scrub_slice=(bad_slice + 1) % n_slices
+    )
+    assert miss["payload_ck_mismatches"] == 0 and miss["ok"]
+
+    # invalid fractions fail loudly
+    with pytest.raises(ValueError, match="fraction"):
+        verify_dataset(spark, tmp, deep=1.5)

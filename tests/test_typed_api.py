@@ -79,6 +79,26 @@ def test_typed_write_read_roundtrip(spark, tmp_path):
     assert sorted(back, key=lambda r: r.i) == sorted(ROWS, key=lambda r: r.i)
 
 
+def test_iter_typed_lazy_roundtrip(spark, tmp_path):
+    """iter_typed: the bounded-memory analog of the reference's LAZY
+    ParquetIterable (ParquetIterable.scala:207-220) — a generator over
+    toLocalIterator, never a driver-side list. Yields the same records
+    as read_typed; partial consumption just abandons the generator."""
+    import inspect
+
+    from colcrush.sources.typed import iter_typed
+
+    p = str(tmp_path / "typed")
+    write_typed(ROWS, spark, p)
+    it = iter_typed(spark, p, Full)
+    assert inspect.isgenerator(it)
+    got = list(it)
+    assert sorted(got, key=lambda r: r.i) == sorted(ROWS, key=lambda r: r.i)
+    # partial consumption: take one record and walk away
+    first = next(iter_typed(spark, p, Full))
+    assert first in ROWS
+
+
 def test_typed_projection(spark, tmp_path):
     @dataclass(frozen=True)
     class Proj:
