@@ -560,6 +560,30 @@ long colcrush_expand_total(const unsigned char *in, long n, const long *lens) {
         t += lens[in[i]];
     return t;
 }
+
+/* Bloom polynomial hash of n concatenated values + murmur-style
+   finalizer — EXACTLY bloom.hash_values' arithmetic (uint64 wraparound
+   is mod-2^64 on both sides; fuzz-pinned equal). The numpy twin
+   materializes four value-stream-sized temporaries (byte widening,
+   per-byte position index, power gather, cumsum) just to segment-sum;
+   here it is one pass, no allocations. */
+void colcrush_bloom_hash(const unsigned char *blob, const long *lengths,
+                         long n, const unsigned long long *pw,
+                         unsigned long long *out) {
+    const unsigned char *p = blob;
+    for (long i = 0; i < n; i++) {
+        long L = lengths[i];
+        unsigned long long h = 0;
+        for (long j = 0; j < L; j++)
+            h += (unsigned long long)p[j] * pw[j];
+        p += L;
+        h += 0x9E3779B97F4A7C15ULL * (unsigned long long)L;
+        h ^= h >> 33;
+        h *= 0xFF51AFD7ED558CCDULL;
+        h ^= h >> 33;
+        out[i] = h;
+    }
+}
 """
 
 
@@ -629,6 +653,12 @@ class _Kernels:
         self._pack_deltas.restype = None
         self._pack_deltas.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_ulonglong, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        self._bloom_hash = lib.colcrush_bloom_hash
+        self._bloom_hash.restype = None
+        self._bloom_hash.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_void_p,
         ]
 
@@ -766,6 +796,20 @@ class _Kernels:
         out = np.empty(((len(v) - 1) * width + 7) // 8, dtype=np.uint8)
         self._pack_deltas(v.ctypes.data, len(v), zlo, width, out.ctypes.data)
         return out.tobytes()
+
+    def bloom_hash(
+        self, lengths: np.ndarray, blob: bytes, pow_table: np.ndarray
+    ) -> np.ndarray:
+        lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+        buf = np.frombuffer(blob, dtype=np.uint8)
+        if int(lengths.sum()) > len(buf):
+            raise ValueError("bloom_hash: lengths overrun the blob")
+        out = np.empty(len(lengths), dtype=np.uint64)
+        self._bloom_hash(
+            buf.ctypes.data, lengths.ctypes.data, len(lengths),
+            pow_table.ctypes.data, out.ctypes.data,
+        )
+        return out
 
 
 def _so_dir() -> str:

@@ -39,6 +39,10 @@ from __future__ import annotations
 
 import numpy as np
 
+from ._native import load as _load_native
+
+_native = _load_native()
+
 _P = 0x100000001B3  # FNV-1a prime (odd -> full-period multiplier mod 2^64)
 _MIX = 0xFF51AFD7ED558CCD  # murmur3 finalizer constant
 _LEN_SALT = 0x9E3779B97F4A7C15
@@ -79,7 +83,13 @@ def hash_values(lengths: np.ndarray, blob: bytes) -> np.ndarray:
     """Vectorized polynomial hash of concatenated values (uint64[n]).
 
     ``lengths`` are the per-value byte lengths of ``blob`` segments;
-    every length must be < _MAX_VALUE_LEN (caller-gated)."""
+    every length must be < _MAX_VALUE_LEN (caller-gated).
+
+    Dispatches to the C kernel when available (one pass, no temps; the
+    numpy body allocates four value-stream-sized arrays) — both paths
+    are exact mod-2^64 arithmetic and fuzz-pinned byte-identical, so
+    bloom words never depend on the host toolchain (same invariant as
+    every other kernel pair)."""
     n = len(lengths)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
@@ -89,6 +99,14 @@ def hash_values(lengths: np.ndarray, blob: bytes) -> np.ndarray:
             f"hash_values: a value exceeds the {_MAX_VALUE_LEN - 1}-byte "
             "bloom key domain (callers gate on length first)"
         )
+    if _native is not None:
+        return _native.bloom_hash(lengths, blob, _POW)
+    return _hash_values_numpy(lengths, blob)
+
+
+def _hash_values_numpy(lengths: np.ndarray, blob: bytes) -> np.ndarray:
+    """Canonical numpy body (always available; the parity oracle)."""
+    n = len(lengths)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
     total = int(starts[-1] + lengths[-1])

@@ -337,6 +337,22 @@ def _dec_fsst(payload: bytes) -> tuple[np.ndarray, "bytes | np.ndarray"]:
 # ------------------------------------------------------------ public API
 
 
+_SCHEMA_SER_CACHE: dict = {}
+
+
+def _schema_ser(t: pa.DataType) -> bytes:
+    """Serialized single-field arrow schema for the self-describing
+    header — cached per type: a table has ~5 distinct column types but
+    encode_array runs once per chunk-column (thousands of times per
+    task), and schema serialization allocates IPC buffers each call.
+    Pure lookup, identical bytes — payloads unchanged."""
+    ser = _SCHEMA_SER_CACHE.get(t)
+    if ser is None:
+        ser = pa.schema([pa.field("c", t)]).serialize().to_pybytes()
+        _SCHEMA_SER_CACHE[t] = ser
+    return ser
+
+
 def encode_array(
     arr: pa.Array,
     profile: str = "balanced",
@@ -354,8 +370,7 @@ def encode_array(
     t = arr.type
     n = len(arr)
     null_count = arr.null_count
-    field = pa.field("c", t)
-    schema_ser = pa.schema([field]).serialize().to_pybytes()
+    schema_ser = _schema_ser(t)
 
     mask = None
     if 0 < null_count:

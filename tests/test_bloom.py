@@ -58,6 +58,25 @@ def test_hash_scalar_vector_parity(value):
     assert int(bloom.hash_values(lengths, b)[0]) == bloom.hash_value(value)
 
 
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.binary(max_size=bloom._MAX_VALUE_LEN - 1), max_size=200)
+)
+def test_hash_native_numpy_parity(bs):
+    """The C bloom-hash kernel and the canonical numpy body must be
+    bit-identical on every input (bloom words can never depend on the
+    host toolchain — same invariant as every other kernel pair).
+    Skipped only where no C toolchain exists (numpy is then the one
+    path in production too)."""
+    if bloom._native is None:
+        pytest.skip("no C toolchain; numpy path is the only path")
+    lengths = np.array([len(b) for b in bs], dtype=np.int64)
+    blob = b"".join(bs)
+    a = bloom._native.bloom_hash(lengths, blob, bloom._POW)
+    b = bloom._hash_values_numpy(lengths, blob) if len(bs) else a
+    assert a.tolist() == b.tolist()
+
+
 def test_hash_domain_guard_on_both_twins():
     b = b"y" * bloom._MAX_VALUE_LEN
     with pytest.raises(ValueError):
