@@ -221,6 +221,18 @@ def bench_encode(spark, n_rows: int, profile: str, parquet_oracle: bool = True):
             shutil.rmtree(tmp, ignore_errors=True)
     pq_bytes = pq_sizes["snappy"]
 
+    # archive profile (zstd entropy layer over the lightweight codecs,
+    # the cold-tier trade): one pass for its ratio against the same
+    # parquet oracles — this is the honest competitor row for a real
+    # 100 TB deployment's parquet+zstd
+    arc_bytes = 0
+    archive_sec = 0.0
+    if parquet_oracle:
+        t0 = time.time()
+        arc = encode_table(src, group_cols=["repo", "lang"], profile="archive")
+        arc_bytes = int(arc.agg(F.sum("enc_bytes")).collect()[0][0])
+        archive_sec = time.time() - t0
+
     src.unpersist()
     assert n_dec == n_rows
     assert n_proj == n_rows
@@ -276,6 +288,11 @@ def bench_encode(spark, n_rows: int, profile: str, parquet_oracle: bool = True):
         "ratio_vs_parquet_none": round(enc_bytes / pq_sizes["uncompressed"], 4),
         "ratio_vs_parquet_snappy": round(enc_bytes / pq_bytes, 4),
         "ratio_vs_parquet_zstd": round(enc_bytes / pq_sizes["zstd"], 4),
+        "encoded_bytes_archive": arc_bytes,
+        "archive_encode_sec": round(archive_sec, 3),
+        "ratio_vs_parquet_zstd_archive": round(
+            arc_bytes / pq_sizes["zstd"], 4
+        ),
     }
 
 
@@ -382,6 +399,7 @@ _HEADLINE_OPTIONAL = (
     "ratio_vs_parquet_none",
     "ratio_vs_parquet_snappy",
     "ratio_vs_parquet_zstd",
+    "ratio_vs_parquet_zstd_archive",
     # per-CPU continuity series (pinned exec8 shape, CONTINUITY RULE)
     "exec8_encode_mbps_content_per_cpu",
     "exec8_decode_mbps_raw_per_cpu",

@@ -49,6 +49,7 @@ STRUCT = 8
 MAP = 9
 CUSTOM = 10
 DEC128 = 11
+ENTROPY = 12
 
 CODEC_NAMES = {
     PLAIN_FIXED: "plain",
@@ -63,7 +64,45 @@ CODEC_NAMES = {
     MAP: "map",
     CUSTOM: "custom",
     DEC128: "dec128",
+    ENTROPY: "entropy",
 }
+
+# ------------------------------------------------------- entropy layer
+#
+# General-purpose entropy coding OVER the finished lightweight blob —
+# the engine's analog of parquet4s's compressionCodecName writer option
+# (/root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/ParquetWriter.scala:79,92:
+# .withCompressionCodec wraps finished pages the same way). The default
+# profiles stay pure lightweight codecs (decode stays cheap and
+# vectorized); the 'archive' profile additionally zstd-wraps any
+# chunk-column blob the wrap actually shrinks — the cold-tier trade at
+# 100 TB, where storage dollars beat decode CPU. Container: ENTROPY
+# codec id, payload = blk(codec_name) + i64 raw_len + compressed bytes;
+# decode decompresses and recurses, so readers need no knob.
+#
+# CAVEAT (documented, test-pinned): zstd output bytes are deterministic
+# for a fixed pyarrow build but NOT guaranteed stable across zstd
+# library versions — archive-profile datasets keep row/chunk-ID
+# determinism always, but byte-level N-vs-4N/resume identity only under
+# a fleet-pinned pyarrow (which real clusters pin anyway). Default
+# profiles are unaffected; format goldens cover them unchanged.
+
+_ENTROPY_PROFILE: dict[str, tuple[str, int]] = {"archive": ("zstd", 3)}
+_ENTROPY_MIN = 512  # blobs below this never repay the frame + CPU
+
+
+def _entropy_wrap(
+    blob: bytes, codec: str, level: int, schema_ser: bytes, n: int,
+    null_count: int,
+) -> bytes | None:
+    """zstd/lz4-wrap a finished container blob; None when the wrap does
+    not shrink it (pure function of the blob bytes, so chunk output
+    stays deterministic for a fixed library build)."""
+    z = pa.Codec(codec, compression_level=level).compress(blob, asbytes=True)
+    head = MAGIC + struct.pack("<I", len(schema_ser)) + schema_ser
+    head += struct.pack("<Bqq", ENTROPY, n, null_count)
+    wrapped = head + _blk(codec.encode()) + struct.pack("<q", len(blob)) + z
+    return wrapped if len(wrapped) < len(blob) else None
 
 # ------------------------------------------------- user codec registry
 #
@@ -359,11 +398,17 @@ def encode_array(
     force_codec: int | None = None,
     _allow_dict: bool = True,
     kernel_cache: dict | None = None,
+    _entropy: bool = True,
 ) -> tuple[bytes, dict]:
     """Encode a pa.Array; returns (blob, meta).
 
     meta: codec, n_rows, n_nulls, raw_bytes, enc_bytes, dict_size,
     min/max (python values or None).
+
+    ``_entropy=False`` marks a NESTED call (dict values, list children,
+    struct fields, custom inner): the entropy layer wraps only the
+    outermost container — compressing an inner blob and then the outer
+    one again would burn CPU re-compressing compressed bytes.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -423,7 +468,7 @@ def encode_array(
     custom = _match_value_codec(t) if force_codec is None else None
     if custom is not None:
         name, to_s, _ = custom
-        inner, _ = encode_array(to_s(nn), profile=profile)
+        inner, _ = encode_array(to_s(nn), profile=profile, _entropy=False)
         codec_id, payload, extra = (
             CUSTOM,
             _blk(name.encode()) + _blk(inner),
@@ -474,6 +519,12 @@ def encode_array(
     if mask is not None and codec_id != IPC:
         head += np.packbits(mask, bitorder="little").tobytes()
     blob = head + payload
+    ent = _ENTROPY_PROFILE.get(profile) if _entropy else None
+    if ent is not None and len(blob) >= _ENTROPY_MIN:
+        wrapped = _entropy_wrap(blob, ent[0], ent[1], schema_ser, n, null_count)
+        if wrapped is not None:
+            blob = wrapped
+            meta["codec"] = f"{meta['codec']}+{ent[0]}"
     meta["enc_bytes"] = len(blob)
     meta["raw_bytes"] = len(str_parts[1]) if str_parts is not None else _raw_bytes(arr)
     return blob, meta
@@ -779,7 +830,9 @@ def _enc_dict(
     sorted_vals = dvals.take(pa.array(order))
     new_idx = rank[idx]
     # dictionary values encoded recursively (no dict-of-dict)
-    dict_blob, _ = encode_array(sorted_vals, profile="fast", _allow_dict=False)
+    dict_blob, _ = encode_array(
+        sorted_vals, profile="fast", _allow_dict=False, _entropy=False
+    )
     idx_blob = encode_ints_best(new_idx)
     extra = dict(extra)
     extra["dict_size"] = len(dvals)
@@ -788,7 +841,7 @@ def _enc_dict(
 
 def _enc_list(nn: pa.Array, profile: str) -> bytes:
     lengths = pc.list_value_length(nn).to_numpy(zero_copy_only=False)
-    child, _ = encode_array(nn.flatten(), profile=profile)
+    child, _ = encode_array(nn.flatten(), profile=profile, _entropy=False)
     return _blk(encode_ints_best(lengths.astype(np.int64))) + _blk(child)
 
 
@@ -811,7 +864,7 @@ def _dec_list(payload: bytes, t: pa.DataType, mask) -> pa.Array:
 def _enc_struct(nn: pa.Array, profile: str) -> bytes:
     out = b""
     for i in range(nn.type.num_fields):
-        child, _ = encode_array(nn.field(i), profile=profile)
+        child, _ = encode_array(nn.field(i), profile=profile, _entropy=False)
         out += _blk(child)
     return out
 
@@ -838,8 +891,12 @@ def _enc_map(nn: pa.Array, profile: str) -> bytes:
     # round-trips to the wrong entries.
     start = int(offs[0]) if len(offs) else 0
     stop = int(offs[-1]) if len(offs) else start
-    keys, _ = encode_array(nn.keys.slice(start, stop - start), profile=profile)
-    items, _ = encode_array(nn.items.slice(start, stop - start), profile=profile)
+    keys, _ = encode_array(
+        nn.keys.slice(start, stop - start), profile=profile, _entropy=False
+    )
+    items, _ = encode_array(
+        nn.items.slice(start, stop - start), profile=profile, _entropy=False
+    )
     return (
         _blk(encode_ints_best(lengths.astype(np.int64)))
         + _blk(keys)
@@ -908,7 +965,7 @@ def _enc_dec128(nn: pa.Array) -> bytes:
             except pa.ArrowInvalid:
                 small = None  # quotient still beyond int64 digits
             if small is not None:
-                inner, _ = encode_array(small)
+                inner, _ = encode_array(small, _entropy=False)
                 return struct.pack("<BB", 2, best_g) + _blk(inner)
     pairs = np.frombuffer(
         nn.buffers()[1], dtype=np.uint64, offset=nn.offset * 16,
@@ -1018,6 +1075,16 @@ def decode_array(blob: bytes) -> pa.Array:
         with pa.ipc.open_stream(pa.py_buffer(blob[off:])) as r:
             tbl = r.read_all()
         return tbl.column(0).combine_chunks()
+
+    if codec_id == ENTROPY:
+        # entropy wrap: decompress and recurse into the inner container
+        # (self-describing — readers need no profile knowledge)
+        nameb, o = _unblk(blob, off)
+        (raw_len,) = struct.unpack_from("<q", blob, o)
+        inner = pa.Codec(nameb.decode()).decompress(
+            blob[o + 8 :], raw_len, asbytes=True
+        )
+        return decode_array(inner)
 
     mask = None
     if null_count:

@@ -588,3 +588,66 @@ def test_strided_sample_contract():
     wide = fsst.strided_sample(blob, 1 << 12, 1 << 13)
     assert 0 < len(wide) <= (1 << 12)
     assert fsst.strided_sample(b"", 1 << 14, 256) == b""
+
+
+def test_entropy_archive_profile_roundtrip():
+    """'archive' profile: the finished lightweight blob is zstd-wrapped
+    whenever the wrap shrinks it (the compressionCodecName analog —
+    ParquetWriter.scala:79,92). Self-describing: decode needs no knob.
+    Default profiles never wrap (goldens untouched)."""
+    import pyarrow as pa
+    import decimal
+
+    from colcrush.codecs.column import decode_array, encode_array
+
+    # highly-compressible text: FSST result still has zstd headroom
+    vals = [f"def handler_{i % 7}(request, response): return {i % 3}" for i in range(4000)]
+    vals[5] = None
+    arr = pa.array(vals)
+    bal_blob, bal_meta = encode_array(arr, profile="balanced")
+    arc_blob, arc_meta = encode_array(arr, profile="archive")
+    assert "+zstd" not in bal_meta["codec"]
+    assert arc_meta["codec"].endswith("+zstd")
+    assert len(arc_blob) < len(bal_blob)
+    assert arc_meta["enc_bytes"] == len(arc_blob)
+    assert decode_array(arc_blob).to_pylist() == vals
+    # deterministic within a fixed library build
+    again, _ = encode_array(arr, profile="archive")
+    assert again == arc_blob
+
+    # other families through the wrap: ints, decimal, nested list
+    for a in (
+        pa.array([i % 5 for i in range(3000)], type=pa.int32()),
+        pa.array(
+            [decimal.Decimal("12.34") + decimal.Decimal(i % 9) for i in range(2000)],
+            type=pa.decimal128(10, 2),
+        ),
+        pa.array([[f"tok{i % 4}"] * 3 for i in range(2000)]),
+    ):
+        blob, meta = encode_array(a, profile="archive")
+        assert decode_array(blob).to_pylist() == a.to_pylist()
+
+    # stats and null accounting survive the wrap (manifest correctness)
+    assert arc_meta["n_rows"] == 4000 and arc_meta["n_nulls"] == 1
+
+
+def test_entropy_wrap_skipped_when_not_smaller():
+    """Incompressible payloads must NOT be wrapped (the wrap is a pure
+    size comparison on the finished blob) — and tiny blobs never pay
+    the frame."""
+    import os as _os
+    import pyarrow as pa
+
+    from colcrush.codecs.column import decode_array, encode_array
+
+    rng = __import__("numpy").random.default_rng(7)
+    junk = [rng.bytes(64) for _ in range(512)]  # random binary: zstd gains ~0
+    arr = pa.array(junk, type=pa.binary())
+    blob, meta = encode_array(arr, profile="archive")
+    assert "+zstd" not in meta["codec"]
+    assert decode_array(blob).to_pylist() == junk
+
+    small = pa.array(["ab", "ab"])  # < _ENTROPY_MIN: never attempted
+    blob2, meta2 = encode_array(small, profile="archive")
+    assert "+zstd" not in meta2["codec"]
+    assert decode_array(blob2).to_pylist() == ["ab", "ab"]
