@@ -594,10 +594,15 @@ def _choose(
         # dict loses. The probe is a deterministic prefix, so codec
         # choice stays a pure function of the chunk bytes.
         dict_plausible = allow_dict
-        if allow_dict and len(nn) > 4096:
+        const_denc = _constant_dict(nn, lengths, blob) if allow_dict else None
+        if const_denc is None and allow_dict and len(nn) > 4096:
             dict_plausible = _dict_estimate(nn.slice(0, 4096)) is not None
         dict_cache: dict = {}
-        dict_est = _dict_estimate(nn, dict_cache) if dict_plausible else None
+        dict_est = (
+            _dict_estimate(nn, dict_cache, denc=const_denc)
+            if dict_plausible
+            else None
+        )
         if dict_est is not None:
             candidates.append((dict_est, DICT))
         fsst_table = fsst_comp = None
@@ -748,20 +753,53 @@ def _encode_str_forced(force, nn, lengths, blob, profile, extra):
     raise ValueError(f"bad forced codec {force}")
 
 
+def _constant_dict(
+    nn: pa.Array, lengths: np.ndarray, blob: bytes
+) -> "pa.DictionaryArray | None":
+    """DictionaryArray for an ALL-EQUAL string/binary column without
+    hashing every byte, or None when the column is not constant.
+
+    Group columns are constant within every shard BY CONSTRUCTION
+    (encode cuts chunks at (group, salt) boundaries), so at 100 TB this
+    case runs once per chunk for every group column that rides along.
+    A vectorized equality sweep (memcmp speed) replaces
+    pc.dictionary_encode's per-byte hashing; the synthesized array is
+    exactly what dictionary_encode returns for a constant column — one
+    compact dictionary value + int32 zero indices — so size estimates,
+    codec choice, and encoded bytes are unchanged (test-pinned)."""
+    n = len(lengths)
+    if n == 0:
+        return None
+    L = int(lengths[0])
+    if int(lengths.min()) != L or int(lengths.max()) != L:
+        return None
+    if L:
+        rows = np.frombuffer(blob, np.uint8, n * L).reshape(n, L)
+        if not (rows[1:] == rows[0]).all():
+            return None
+    dvals = pa.array([nn[0].as_py()], type=nn.type)
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), dvals
+    )
+
+
 def _dict_estimate(
-    nn: pa.Array, out: dict | None = None
+    nn: pa.Array, out: dict | None = None, denc: "pa.DictionaryArray | None" = None
 ) -> int | None:
     """Cheap upper-ish estimate of DICT encoding size, or None if
     hopeless. When ``out`` is given, the computed DictionaryArray is
     stashed under ``out['denc']`` so a winning DICT choice doesn't pay
     pc.dictionary_encode a second time in _enc_dict (the estimate and
     the encode hash the same values; threading the result is purely a
-    CPU saving — the bytes are identical either way)."""
+    CPU saving — the bytes are identical either way). ``denc`` injects
+    a pre-built DictionaryArray (the constant-column shortcut) and
+    skips the hash entirely."""
     n = len(nn)
     if n == 0:
         return None
     try:
-        denc = pc.dictionary_encode(nn)
+        if denc is None:
+            denc = pc.dictionary_encode(nn)
     except pa.ArrowNotImplementedError:
         return None
     if not isinstance(denc, pa.DictionaryArray):

@@ -651,3 +651,41 @@ def test_entropy_wrap_skipped_when_not_smaller():
     blob2, meta2 = encode_array(small, profile="archive")
     assert "+zstd" not in meta2["codec"]
     assert decode_array(blob2).to_pylist() == ["ab", "ab"]
+
+
+def test_constant_dict_shortcut_byte_parity(monkeypatch):
+    """The constant-column dict shortcut must produce bytes identical
+    to the generic pc.dictionary_encode path (group columns are
+    constant within every shard — this path runs once per chunk per
+    group column, and a byte drift would silently change chunk ids)."""
+    import pyarrow as pa
+
+    from colcrush.codecs import column as col
+
+    cases = [
+        pa.array(["same-value"] * 500),
+        pa.array(["same-value"] * 500 + [None] * 7),
+        pa.array([b"\x00\xffbin"] * 300, type=pa.binary()),
+        pa.array([""] * 400),            # constant EMPTY string
+        pa.array(["x"]),                 # single row
+        pa.array(["long-" + "y" * 900] * 1200),  # FSST-eligible blob size
+    ]
+    for arr in cases:
+        fast_blob, fast_meta = col.encode_array(arr)
+        with monkeypatch.context() as m:
+            m.setattr(col, "_constant_dict", lambda nn, lengths, blob: None)
+            slow_blob, slow_meta = col.encode_array(arr)
+        assert fast_blob == slow_blob, arr.type
+        assert fast_meta == slow_meta
+        assert col.decode_array(fast_blob).to_pylist() == arr.to_pylist()
+
+    # non-constant columns take the generic path (shortcut returns None)
+    import numpy as np
+
+    nn = pa.array(["a", "b", "a", "c"])
+    lengths = np.array([1, 1, 1, 1], dtype=np.int64)
+    assert col._constant_dict(nn, lengths, b"abac") is None
+    # equal lengths, different bytes
+    assert col._constant_dict(
+        pa.array(["aa", "ab"]), np.array([2, 2], dtype=np.int64), b"aaab"
+    ) is None
