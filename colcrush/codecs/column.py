@@ -773,8 +773,14 @@ def _constant_dict(
     L = int(lengths[0])
     if int(lengths.min()) != L or int(lengths.max()) != L:
         return None
-    if L:
+    if L and n > 1:
         rows = np.frombuffer(blob, np.uint8, n * L).reshape(n, L)
+        # O(L) adjacent-row probe first: numpy's full comparison does
+        # not short-circuit, and an equal-length NON-constant column
+        # (fixed-width ids, hashes) would otherwise pay an O(n*L) sweep
+        # + bool allocation just to learn it isn't constant
+        if not (rows[1] == rows[0]).all():
+            return None
         if not (rows[1:] == rows[0]).all():
             return None
     dvals = pa.array([nn[0].as_py()], type=nn.type)
