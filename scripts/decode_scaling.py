@@ -142,11 +142,22 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     repeats = int(os.environ.get("COLCRUSH_SCALING_REPEATS", "7"))
-    tmp = tempfile.mkdtemp(prefix="colcrush_decscale_")
-    path = os.path.join(tmp, "ds")
+    # Resume knob: a killed campaign leaves its encoded setup dataset on
+    # disk; reuse it (with its known raw byte count) instead of paying
+    # the multi-minute encode again.  The externally-provided dataset is
+    # never deleted.
+    reuse = os.environ.get("COLCRUSH_DECSCALE_PATH")
+    tmp = None
+    if reuse:
+        path = reuse
+        raw_bytes = int(os.environ["COLCRUSH_DECSCALE_RAW_BYTES"])
+    else:
+        tmp = tempfile.mkdtemp(prefix="colcrush_decscale_")
+        path = os.path.join(tmp, "ds")
     try:
-        setup = encode_once(rows, path)
-        raw_bytes = setup["raw_bytes"]
+        if not reuse:
+            setup = encode_once(rows, path)
+            raw_bytes = setup["raw_bytes"]
         print(json.dumps({"setup_raw_bytes": raw_bytes, "path": path}))
         pairs = []
         trials_n, trials_4n = [], []
@@ -224,7 +235,8 @@ Full-decode pairs: {[p["full"] for p in pairs]}; projected pairs:
         with open(base, "w") as f:
             f.write(text + md)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
