@@ -584,6 +584,27 @@ void colcrush_bloom_hash(const unsigned char *blob, const long *lengths,
         out[i] = h;
     }
 }
+
+/* Double-hash bloom scatter: for each (already distinct) hash set the
+   k probe bits (lo + j*hi) % m in an m-bit field stored as uint64
+   word VALUES — bit b lives in word b>>6 as 1ULL<<(b&63), exactly the
+   integer the numpy twin reads back via packbits(bitorder='little') +
+   an explicit '<u8' view. Values, not bytes, cross the boundary, so
+   the result is endian-independent. Replaces a per-chunk numpy chain
+   (m-bool alloc, k*nd index broadcast, packbits, and a PYTHON loop
+   over every word for the signed conversion). */
+void colcrush_bloom_scatter(const unsigned long long *h, long nd, long m,
+                            long k, unsigned long long *words) {
+    for (long i = 0; i < nd; i++) {
+        unsigned long long lo = h[i] & 0xFFFFFFFFULL;
+        unsigned long long hi = (h[i] >> 32) | 1ULL;
+        for (long j = 0; j < k; j++) {
+            unsigned long long idx =
+                (lo + (unsigned long long)j * hi) % (unsigned long long)m;
+            words[idx >> 6] |= 1ULL << (idx & 63);
+        }
+    }
+}
 """
 
 
@@ -659,6 +680,12 @@ class _Kernels:
         self._bloom_hash.restype = None
         self._bloom_hash.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        self._bloom_scatter = lib.colcrush_bloom_scatter
+        self._bloom_scatter.restype = None
+        self._bloom_scatter.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
             ctypes.c_void_p,
         ]
 
@@ -796,6 +823,16 @@ class _Kernels:
         out = np.empty(((len(v) - 1) * width + 7) // 8, dtype=np.uint8)
         self._pack_deltas(v.ctypes.data, len(v), zlo, width, out.ctypes.data)
         return out.tobytes()
+
+    def bloom_scatter(self, h: np.ndarray, m: int, k: int) -> np.ndarray:
+        """int64[m/64] bloom words (two's-complement VALUES identical
+        to bloom._bloom_words_numpy; m is a power of two >= 256)."""
+        h = np.ascontiguousarray(h, dtype=np.uint64)
+        out = np.zeros(m >> 6, dtype=np.uint64)
+        self._bloom_scatter(
+            h.ctypes.data, len(h), m, k, out.ctypes.data,
+        )
+        return out.view(np.int64)
 
     def bloom_hash(
         self, lengths: np.ndarray, blob: bytes, pow_table: np.ndarray

@@ -167,6 +167,19 @@ def build_bloom(
     if len(h) > _MAX_DISTINCT:
         return None
     m, k = _geometry(len(h))
+    # C kernel when available (value-identical, fuzz-pinned — same
+    # invariant as the hash pair above); numpy body stays the oracle
+    words = (
+        _native.bloom_scatter(h, m, k)
+        if _native is not None
+        else _bloom_words_numpy(h, m, k)
+    )
+    return [int(m), int(k), int(kind)] + words.tolist()
+
+
+def _bloom_words_numpy(h: np.ndarray, m: int, k: int) -> np.ndarray:
+    """Canonical numpy scatter body (always available; the parity
+    oracle for the C kernel): int64[m/64] bloom words."""
     h_lo = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
     h_hi = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.int64)
     bits = np.zeros(m, dtype=bool)
@@ -177,16 +190,14 @@ def build_bloom(
     idx = (h_lo[None, :] + np.arange(k, dtype=np.int64)[:, None] * h_hi) % m
     bits[idx.ravel()] = True
     # LSB-first within each 64-bit word (element_at(bloom, 4+idx//64)
-    # >> (idx%64)) & 1 on the query side. Words are assembled from the
-    # packed bytes with an EXPLICIT little-endian dtype and converted
-    # value-wise to signed two's complement: a native-endian .view()
-    # would make the stored words (and thus chunk output) depend on
-    # the host — the cross-toolchain identity invariant forbids that.
+    # >> (idx%64)) & 1 on the query side. Words are read from the
+    # packed bytes with EXPLICIT little-endian dtypes: a native-endian
+    # .view() would make the stored words (and thus chunk output)
+    # depend on the host — the cross-toolchain identity invariant
+    # forbids that. '<i8' is the value-wise two's-complement of the
+    # '<u8' reading (signed manifest array<bigint> domain).
     packed = np.packbits(bits, bitorder="little").tobytes()
-    words_u = np.frombuffer(packed, dtype="<u8")
-    return [int(m), int(k), int(kind)] + [
-        w - (1 << 64) if w >= (1 << 63) else w for w in map(int, words_u)
-    ]
+    return np.frombuffer(packed, dtype="<i8")
 
 
 def probe_params(value: "str | bytes") -> tuple[int, int]:

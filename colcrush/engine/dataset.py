@@ -72,6 +72,10 @@ def write_encoded(
     /root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/IOOps.scala:37-56),
     'overwrite', or 'append'.
     """
+    if mode not in ("error", "overwrite", "append"):
+        # an unrecognized mode must fail loudly: it would otherwise
+        # skip the CREATE existence check and silently APPEND
+        raise ValueError(f"mode must be error|overwrite|append, got {mode!r}")
     chunks_path = fsio.join(path, CHUNKS_DIR)
     manifest_path = fsio.join(path, MANIFEST_DIR)
     if mode == "error" and fsio.exists(chunks_path):

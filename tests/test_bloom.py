@@ -77,6 +77,47 @@ def test_hash_native_numpy_parity(bs):
     assert a.tolist() == b.tolist()
 
 
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        min_size=1,
+        max_size=400,
+    ),
+    st.sampled_from([256, 512, 4096, bloom._MAX_BITS]),
+    st.integers(min_value=1, max_value=bloom._MAX_K),
+)
+def test_scatter_native_numpy_parity(hs, m, k):
+    """The C bloom-scatter kernel and the canonical numpy body must be
+    value-identical on every input (bloom words can never depend on the
+    host toolchain — same invariant as every other kernel pair)."""
+    if bloom._native is None:
+        pytest.skip("no C toolchain; numpy path is the only path")
+    h = np.unique(np.array(hs, dtype=np.uint64))
+    a = bloom._native.bloom_scatter(h, m, k)
+    b = bloom._bloom_words_numpy(h, m, k)
+    assert a.tolist() == b.tolist()
+
+
+def test_build_bloom_native_numpy_identical():
+    """End-to-end build_bloom parity with the native kernels disabled —
+    the manifest array must not depend on which path ran."""
+    vals = [f"key{i % 37}".encode() for i in range(500)] + [b"", b"x" * 255]
+    lengths = np.array([len(v) for v in vals], dtype=np.int64)
+    blob = b"".join(vals)
+    with_native = bloom.build_bloom(lengths, blob)
+    orig = bloom._native
+    bloom._native = None
+    try:
+        pure = bloom.build_bloom(lengths, blob)
+    finally:
+        bloom._native = orig
+    assert with_native == pure
+    # negative words must appear (the signed two's-complement mapping
+    # is exercised, not just small positives)
+    assert any(w < 0 for w in with_native[3:])
+
+
 def test_hash_domain_guard_on_both_twins():
     b = b"y" * bloom._MAX_VALUE_LEN
     with pytest.raises(ValueError):

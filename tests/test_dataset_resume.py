@@ -47,6 +47,14 @@ def test_write_create_mode_refuses_overwrite(spark, src, tmp):
     write_encoded(src, tmp, mode="overwrite", group_cols=["repo", "lang"])
 
 
+def test_write_rejects_unknown_mode(spark, src, tmp):
+    """An unrecognized mode string must raise, not fall through to the
+    non-error branches (it would skip the CREATE existence check and
+    silently APPEND to an existing dataset)."""
+    with pytest.raises(ValueError, match="mode must be"):
+        write_encoded(src, tmp, mode="create", group_cols=["repo", "lang"])
+
+
 def test_failed_encode_releases_salt_plan(spark, src, tmp):
     """If encode_table raises after the salt-plan histogram was
     persisted (unknown bloom column here), write_encoded must unpersist
