@@ -92,6 +92,9 @@ def decode_table(
 ) -> DataFrame:
     """Decode a chunk DataFrame (ENCODED_DDL) back to rows.
 
+    See :func:`decode_prepare` for the plan/worker split — this is
+    ``pruned.mapInArrow(fn, out_schema)`` over its result.
+
     ``schema`` is the original table's Spark schema; ``columns``
     restricts the projection (pruning happens BEFORE the shuffle — only
     requested payloads move).
@@ -111,6 +114,33 @@ def decode_table(
     bit rot on a 100 TB store must fail loudly, not decode to wrong
     rows. Datasets written before the column existed (or mixed
     appends whose rows read as NULL) skip the check per row.
+    """
+    pruned, fn, out_schema = decode_prepare(
+        chunks,
+        schema,
+        columns=columns,
+        assume_colocated=assume_colocated,
+        decimal_formats=decimal_formats,
+        verify_checksums=verify_checksums,
+    )
+    return pruned.mapInArrow(fn, out_schema)
+
+
+def decode_prepare(
+    chunks: DataFrame,
+    schema: T.StructType,
+    columns: list[str] | None = None,
+    assume_colocated: bool = False,
+    decimal_formats: dict[str, tuple[int, int]] | None = None,
+    verify_checksums: bool = True,
+):
+    """The plan half of :func:`decode_table`: returns ``(pruned_df,
+    worker_fn, out_schema)`` where ``pruned_df`` is the projected (and,
+    unless colocated, chunk_id-repartitioned) chunk-row stream and
+    ``worker_fn`` the mapInArrow function — the seam the Spark-free
+    decode profiler (scripts/profile_decode_worker.py) drives so
+    measured decode-worker costs are the REAL worker over the REAL
+    pruned stream, mirroring encoder.encode_prepare.
     """
     requested = set(columns or [f.name for f in schema.fields])
     missing = requested - {f.name for f in schema.fields}
@@ -185,4 +215,4 @@ def decode_table(
                 f"incomplete chunks after decode: {list(pending)[:5]}"
             )
 
-    return pruned.mapInArrow(fn, out_schema)
+    return pruned, fn, out_schema

@@ -69,6 +69,25 @@ def test_archive_profile_engine_roundtrip(spark, src):
         a.unpersist()
 
 
+def test_decode_prepare_seam_spark_free_replay(spark, src):
+    """decode_prepare's worker fn must be drivable OUTSIDE Spark over
+    the pruned stream's batches (the scripts/profile_decode_worker.py
+    contract) and reproduce the table exactly."""
+    import pyarrow as pa
+
+    from colcrush.engine.decoder import decode_prepare
+
+    enc = encode_table(src, group_cols=["repo", "lang"])
+    pruned, fn, out_schema = decode_prepare(enc, src.schema)
+    # one partition -> a single co-located batch stream, like one file
+    batches = pruned.coalesce(1).toArrow().to_batches(max_chunksize=64)
+    decoded = pa.Table.from_batches(list(fn(iter(batches))))
+    want = {r["content"] for r in src.collect()}
+    got = set(decoded.column("content").to_pylist())
+    assert got == want
+    assert decoded.num_rows == src.count()
+
+
 def test_roundtrip_ungrouped(spark, src):
     enc = encode_table(src.select("path", "content"))
     dec = decode_table(enc, src.select("path", "content").schema)
