@@ -117,6 +117,28 @@ def test_fsst_all_bytes_used_falls_back():
     assert fsst.decompress(fsst.compress(corpus, table), table) == corpus
 
 
+def test_fsst_expansion_cache_pure_and_bounded():
+    """_expansions is memoized on table contents: hits return the same
+    (read-only) arrays, equal tables built as distinct lists share one
+    entry, and the bound triggers a full clear without changing
+    results."""
+    corpus = b"for i in range(n):\n    print(i)\n" * 200
+    table = fsst.train(corpus)
+    assert table, "fixture must train a non-empty table"
+    a = fsst._expansions(table)
+    b = fsst._expansions(list(table))  # equal contents, distinct list
+    assert a[0] is b[0]  # cache hit
+    assert not a[1].flags.writeable and not a[2].flags.writeable
+    comp = fsst.compress(corpus, table)
+    assert fsst.decompress(comp, table) == corpus
+    # force eviction; decode must still be correct afterwards
+    fsst._EXP_CACHE.clear()
+    for i in range(fsst._EXP_CACHE_MAX + 2):
+        fsst._expansions([(200, 97, (98 + i) % 256)])
+    assert len(fsst._EXP_CACHE) <= fsst._EXP_CACHE_MAX
+    assert fsst.decompress(comp, table) == corpus
+
+
 def test_fsst_table_serialization():
     corpus = b"abcabcabcabc xyzxyzxyz " * 100
     table = fsst.train(corpus)
