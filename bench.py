@@ -432,13 +432,20 @@ def _headline(full: dict) -> str:
     keys (in priority order) as fit the budget."""
     line_of = lambda d: json.dumps(d, separators=(",", ":"))  # noqa: E731
     out = {k: full[k] for k in _HEADLINE_REQUIRED if k in full}
+    if len(line_of(out)) > _HEADLINE_BUDGET:
+        # required keys alone bust the budget (a queries dict can grow):
+        # degrade per-query detail to a count so the driver's ~2000-char
+        # stdout window can never decapitate the line (the r6 failure)
+        out["queries"] = {"n_queries": len(full.get("queries", {}))}
     for k in _HEADLINE_OPTIONAL:
         if k not in full:
             continue
         out[k] = full[k]
         if len(line_of(out)) > _HEADLINE_BUDGET:
+            # drop this key but keep trying smaller lower-priority keys
+            # (break here let one fat key evict everything after it)
             del out[k]
-            break
+            continue
     return line_of(out)
 
 

@@ -107,6 +107,11 @@ def hash_values(lengths: np.ndarray, blob: bytes) -> np.ndarray:
 def _hash_values_numpy(lengths: np.ndarray, blob: bytes) -> np.ndarray:
     """Canonical numpy body (always available; the parity oracle)."""
     n = len(lengths)
+    if n == 0:
+        # total on the same domain as the public twin — this function is
+        # documented as the standalone parity oracle, so it must not rely
+        # on the dispatcher's n==0 guard
+        return np.zeros(0, dtype=np.uint64)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
     total = int(starts[-1] + lengths[-1])

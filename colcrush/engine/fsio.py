@@ -61,8 +61,25 @@ def _s3(path: str):
     )
     # cache on the full resolution inputs: keying on endpoint alone
     # silently reused a stale client after an in-process region or
-    # credential change (long-lived services rotate keys)
-    cache_key = (endpoint, region, os.environ.get("AWS_ACCESS_KEY_ID"))
+    # credential change (long-lived services rotate keys). Secret and
+    # session token are hashed in too — rotations that change only the
+    # secret (mis-set secret fix, fixed-key-id minio/proxy setups) must
+    # also invalidate; hashing keeps secrets out of dict keys.
+    import hashlib
+
+    secret_fp = hashlib.sha256(
+        (
+            (os.environ.get("AWS_SECRET_ACCESS_KEY") or "")
+            + "\x00"
+            + (os.environ.get("AWS_SESSION_TOKEN") or "")
+        ).encode()
+    ).hexdigest()[:16]
+    cache_key = (
+        endpoint,
+        region,
+        os.environ.get("AWS_ACCESS_KEY_ID"),
+        secret_fp,
+    )
     if cache_key not in _s3_cache:
         kwargs = {"endpoint_override": endpoint} if endpoint else {}
         if region:

@@ -305,6 +305,50 @@ def extract_features(
     return df.mapInPandas(fn, out_schema)
 
 
+def decode_dims(df: DataFrame) -> DataFrame:
+    """Integer ground-truth of the REAL image decode: per image row,
+    the decoded (width, height, channels) plus per-channel plain and
+    raster-position-weighted pixel sums, all from the decoded array.
+
+    These are exactly recomputable integers (the synthesized tiles are
+    pure functions of media_id), so this is the oracle-checkable half
+    of the multimodal slot: a decode bug — BMP BGR swap missed, the
+    bottom-up row flip dropped, stride padding read as pixels, a PPM
+    header off-by-one — shifts a sum and breaks the hash match. The
+    position-weighted sums make the check ORDER-sensitive (a flipped
+    raster keeps plain sums but not weighted ones). Float pixel stats
+    stay in the rows-only ``extract_features`` slot.
+    """
+    out_schema = (
+        "media_id long, width int, height int, channels int, "
+        "r_sum long, g_sum long, b_sum long, "
+        "r_wsum long, g_wsum long, b_wsum long"
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pix = decode_image(bytes(payload)).astype(np.int64)
+                h, w, c = pix.shape
+                pos = np.arange(h * w, dtype=np.int64).reshape(h, w, 1)
+                sums = pix.sum(axis=(0, 1))
+                wsums = (pix * pos).sum(axis=(0, 1))
+                rows.append(
+                    (int(mid), w, h, c, *map(int, sums), *map(int, wsums))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "r_sum", "g_sum", "b_sum",
+                    "r_wsum", "g_wsum", "b_wsum",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(fn, out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts) —
     pure JVM-side sequence explode; the decode itself is the stubbed

@@ -733,6 +733,24 @@ def q_multimodal_features(spark, sf):
     return feats.select("media_id", "kind", F.size("features").alias("dim"))
 
 
+def q_multimodal_dims(spark, sf):
+    """The oracle-checkable half of the multimodal slot: REAL PPM/BMP
+    decode (pure numpy, functions/multimodal.py) reduced to exact
+    integers — decoded width/height/channels plus per-channel plain and
+    raster-position-weighted pixel sums. The synthesized tiles are pure
+    integer functions of media_id (r=(x*3+i*7)%256 etc.), so DuckDB
+    recomputes every value from first principles WITHOUT running the
+    decoder: any decode bug (BMP BGR swap, missed bottom-up flip,
+    stride padding leaking into pixels, PPM header off-by-one) breaks
+    the hash match; the weighted sums make it raster-ORDER-sensitive.
+    Float pixel statistics stay in the rows-only multimodal_features
+    slot (VERDICT r7 #5 split)."""
+    from .functions.multimodal import decode_dims, synthesize_media_df
+
+    media = synthesize_media_df(spark, 64, real_payloads=True)
+    return decode_dims(media.where(F.col("kind") == "image"))
+
+
 def q_dedup_clusters(spark, sf):
     """Distributed connected components over the MinHash near-dup PAIR
     set: A~B and B~C must collapse to one cluster even though A~C was
@@ -818,7 +836,6 @@ QUERIES = {
     "time_bucket_agg": q_time_bucket_agg,
     "sessionize": q_sessionize,
     "dedup_exact_groups": q_dedup_exact_groups,
-    "dedup_exact_rows": q_dedup_exact_rows,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -833,10 +850,14 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "deterministic_sample": q_deterministic_sample,
     "contamination_check": q_contamination_check,
-    # rows-only entries (no oracle_sql — see the note at the end of
-    # ORACLES) stay LAST: the driver's CORRECTNESS snapshot records the
-    # first 50 dict entries, and every oracle-checkable query must land
-    # inside that window
+    "multimodal_dims": q_multimodal_dims,
+    # Entries past position 50 fall outside the driver's CORRECTNESS
+    # snapshot window (first 50 dict entries), so rows-only entries
+    # stay LAST. With 51 oracle-backed queries one must sit out here:
+    # dedup_exact_rows — its SURVEY row stays oracle-covered by
+    # dedup_exact_groups (same operator, group-level view) and
+    # scripts/check_oracles.py still verifies it on every run.
+    "dedup_exact_rows": q_dedup_exact_rows,
     "simhash_dedup_fast": q_simhash_dedup_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
     "multimodal_features": q_multimodal_features,
@@ -1281,10 +1302,44 @@ SELECT c.doc_id AS doc_id,
 FROM corp c LEFT JOIN ref r ON c.tok = r.tok
 GROUP BY c.doc_id
 """,
-    # rows-only (no oracle): multimodal_features (real PPM/BMP decode to
-    # float pixel statistics — no SQL-expressible oracle for the image
-    # parse) and the *_fast twins of simhash_dedup / winnow_fingerprints
-    # (xxhash64 is Spark-native, not ANSI-SQL-expressible — the md5
-    # twins are the oracle-checked variants and tests pin that both
-    # hash modes induce the same near-dup structure on the fixture)
+    # multimodal_dims: the synthesized gradient tiles are pure integer
+    # functions of media_id (functions/multimodal.py _synth_image:
+    # r=(x*3+i*7)%256, g=(y*5+i*11)%256, b=(x+y+i)%256; image rows are
+    # i%3==0 with w=(i%5)*4+4, h=(i%4)*4+4), so the oracle recomputes
+    # the decoded sums from first principles without running any image
+    # parser. Max dims are 20x16, so a bounded cross range + filter
+    # replaces a lateral join. Position weight = y*w + x (raster order).
+    "multimodal_dims": """
+WITH dims AS (
+  SELECT CAST(i AS BIGINT) AS i,
+         CAST(i % 5 AS BIGINT) * 4 + 4 AS w,
+         CAST(i % 4 AS BIGINT) * 4 + 4 AS h
+  FROM range(0, 64) t(i) WHERE i % 3 = 0
+),
+px AS (
+  SELECT d.i, d.w, d.h, rx.x AS x, ry.y AS y,
+         (rx.x * 3 + d.i * 7) % 256 AS r,
+         (ry.y * 5 + d.i * 11) % 256 AS g,
+         (rx.x + ry.y + d.i) % 256 AS b
+  FROM dims d, range(0, 20) rx(x), range(0, 16) ry(y)
+  WHERE rx.x < d.w AND ry.y < d.h
+)
+SELECT i AS media_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(sum(r) AS BIGINT) AS r_sum,
+       CAST(sum(g) AS BIGINT) AS g_sum,
+       CAST(sum(b) AS BIGINT) AS b_sum,
+       CAST(sum((y * w + x) * r) AS BIGINT) AS r_wsum,
+       CAST(sum((y * w + x) * g) AS BIGINT) AS g_wsum,
+       CAST(sum((y * w + x) * b) AS BIGINT) AS b_wsum
+FROM px GROUP BY i, w, h
+""",
+    # rows-only (no oracle): multimodal_features (float pixel statistics
+    # — the integer half of the decode is oracle-checked by
+    # multimodal_dims above) and the *_fast twins of simhash_dedup /
+    # winnow_fingerprints (xxhash64 is Spark-native, not
+    # ANSI-SQL-expressible — the md5 twins are the oracle-checked
+    # variants and tests pin that both hash modes induce the same
+    # near-dup structure on the fixture)
 }

@@ -64,12 +64,18 @@ def record_filter(df: DataFrame, lo: int, hi: int, order_col: str) -> DataFrame:
     ``order_col``. offset/limit semantics: keep ordinals in [lo, hi).
 
     Two-pass distributed ordinal, NOT a global unpartitioned window
-    (which funnels the whole table through one task): range-partition
-    on the order key, count per partition (a tiny driver-side list),
-    turn counts into cumulative offsets, then a partition-LOCAL
-    row_number plus the offset. Partitions whose offset range can't
-    intersect [lo, hi) are filtered out before the window runs, so at
-    100 TB only the partitions containing the requested slice do work.
+    over the table (which funnels every row through one task):
+    range-partition on the order key, count per partition, turn the
+    counts into cumulative offsets DISTRIBUTED-SIDE (a window over the
+    counts DF — at most ``defaultParallelism`` rows, so the one-task
+    stage it implies is O(partitions), never O(rows); nothing is
+    collected to the driver, which matters at the ~3M-partition
+    SCALE.md shape), then a partition-LOCAL row_number plus the
+    broadcast-joined offset. Partitions whose offset range can't
+    intersect [lo, hi) are pruned by the inner join before the table
+    window runs, so at 100 TB only the partitions containing the
+    requested slice do work. Both branches share the same range
+    exchange, which Spark reuses (one scan + one range shuffle total).
     """
     from pyspark.sql import Window
 
@@ -78,30 +84,30 @@ def record_filter(df: DataFrame, lo: int, hi: int, order_col: str) -> DataFrame:
     part = df.repartitionByRange(n_part, F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
-    counts = sorted(
-        part.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # window input is the counts DF (<= n_part rows): partitioning on a
+    # constant routes those few rows through one task, which is the
+    # intended O(partitions) sequential scan of the offsets. The
+    # constant is spelled _pid % 1 because Catalyst folds a bare
+    # literal into an EMPTY partition spec (a true global window).
+    w_off = (
+        Window.partitionBy(F.col("_pid") % F.lit(1))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for r in counts:
-        offsets[r["_pid"]] = acc
-        acc += r["count"]
-    keep = [
-        r["_pid"]
-        for r in counts
-        if offsets[r["_pid"]] < hi and offsets[r["_pid"]] + r["count"] > lo
-    ]
-    if not keep:
-        return df.where(F.lit(False))
-    off_map = F.create_map(
-        *[F.lit(x) for p in keep for x in (p, offsets[p])]
+    offsets = (
+        counts.withColumn(
+            "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+        )
+        .where((F.col("_off") < hi) & (F.col("_off") + F.col("_cnt") > lo))
+        .select("_pid", "_off")
     )
     w = Window.partitionBy("_pid").orderBy(F.col(order_col))
     return (
-        part.where(F.col("_pid").isin(keep))
-        .withColumn("_ord", off_map[F.col("_pid")] + F.row_number().over(w) - 1)
+        part.join(F.broadcast(offsets), "_pid", "inner")
+        .withColumn("_ord", F.col("_off") + F.row_number().over(w) - 1)
         .where((F.col("_ord") >= lo) & (F.col("_ord") < hi))
-        .drop("_ord", "_pid")
+        .drop("_ord", "_off", "_pid")
     )
 
 

@@ -71,6 +71,40 @@ def test_headline_drops_tail_keys_when_over_budget():
     assert "ratio_vs_parquet_none" in parsed  # high-priority keys kept
 
 
+def test_headline_keeps_packing_past_a_dropped_key():
+    """A single fat mid-priority key must not evict every key after it
+    (r7 verdict nit: `break` on first overflow starved the tail)."""
+    rec = _full_record()
+    # inflate a HIGH-priority key: everything after it must still pack
+    rec["encoded_bytes"] = "x" * 2000
+    line = bench._headline(rec)
+    assert len(line) <= bench._HEADLINE_BUDGET
+    parsed = json.loads(line)
+    assert "encoded_bytes" not in parsed  # the fat key itself dropped
+    # keys AFTER the dropped one in priority order still appear
+    for k in (
+        "ratio_vs_parquet_zstd",
+        "exec8_encode_mbps_content_per_cpu",
+        "scaling_encode_wall_med",
+    ):
+        assert k in parsed, k
+
+
+def test_headline_required_keys_alone_over_budget_degrades_queries():
+    """If the required keys alone bust the budget (a growing queries
+    dict), the line must still fit: per-query detail degrades to a
+    count instead of emitting an oversized line the driver's ~2000-char
+    stdout window would decapitate (ADVICE r7)."""
+    rec = _full_record()
+    rec["queries"] = {f"query_with_a_long_name_{i:04d}": 123.456 for i in range(200)}
+    line = bench._headline(rec)
+    assert len(line) <= bench._HEADLINE_BUDGET
+    parsed = json.loads(line)
+    for k in bench._HEADLINE_REQUIRED:
+        assert k in parsed, k
+    assert parsed["queries"] == {"n_queries": 200}
+
+
 def test_campaign_scaling_reads_latest_history():
     out = bench._campaign_scaling()
     # repo history files exist from the r6 campaigns; the keys must map

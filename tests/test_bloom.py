@@ -73,8 +73,16 @@ def test_hash_native_numpy_parity(bs):
     lengths = np.array([len(b) for b in bs], dtype=np.int64)
     blob = b"".join(bs)
     a = bloom._native.bloom_hash(lengths, blob, bloom._POW)
-    b = bloom._hash_values_numpy(lengths, blob) if len(bs) else a
+    b = bloom._hash_values_numpy(lengths, blob)
     assert a.tolist() == b.tolist()
+
+
+def test_hash_numpy_oracle_total_on_empty():
+    """_hash_values_numpy is documented as the standalone parity oracle,
+    so it must be total on the public twin's domain — including n==0
+    (ADVICE r7: starts[-1] raised IndexError before the guard)."""
+    out = bloom._hash_values_numpy(np.zeros(0, dtype=np.int64), b"")
+    assert out.dtype == np.uint64 and len(out) == 0
 
 
 @settings(max_examples=120, deadline=None)

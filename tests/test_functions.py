@@ -151,6 +151,34 @@ def test_multimodal_real_decode(spark):
     assert abs(sum(aud) - 1.0) < 1e-5
 
 
+def test_multimodal_decode_dims_integers(spark):
+    """decode_dims returns exact integers from the REAL decode; the
+    position-weighted sums are raster-order-sensitive, so a missed BMP
+    bottom-up flip or BGR swap would break them (this mirrors the
+    multimodal_dims DuckDB oracle, which recomputes the same sums from
+    the tile formula without any image parser)."""
+    import numpy as np
+
+    from colcrush.functions.multimodal import _synth_image, decode_dims
+
+    media = synthesize_media_df(spark, 30, real_payloads=True)
+    rows = {
+        r["media_id"]: r
+        for r in decode_dims(media.where(F.col("kind") == "image")).collect()
+    }
+    assert sorted(rows) == [i for i in range(30) if i % 3 == 0]
+    for i in (0, 6, 3, 9):  # PPM (even) and BMP (odd) rows
+        w, h = (i % 5) * 4 + 4, (i % 4) * 4 + 4
+        pix = _synth_image(i, w, h).astype(np.int64)
+        pos = np.arange(h * w).reshape(h, w, 1)
+        r = rows[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert [r["r_sum"], r["g_sum"], r["b_sum"]] == pix.sum((0, 1)).tolist()
+        assert [r["r_wsum"], r["g_wsum"], r["b_wsum"]] == (
+            (pix * pos).sum((0, 1)).tolist()
+        )
+
+
 def test_inmemory_parquet_roundtrip():
     import pyarrow as pa
 

@@ -155,6 +155,38 @@ def test_s3_fsio_metadata_lifecycle(spark, s3_env):
     fsio.rmtree(base)
 
 
+def test_s3_client_cache_invalidates_on_secret_rotation(s3_env):
+    """ADVICE r7: a rotation that changes only the secret or session
+    token (fixed key id — minio/proxy setups, or correcting a mis-set
+    secret) must not reuse the stale client. The cache key carries a
+    hash of (secret, session token), never the secrets themselves."""
+    fsio._s3_cache.clear()
+    fs1, _ = fsio._s3(f"s3://{BUCKET}/x")
+    assert len(fsio._s3_cache) == 1
+    saved = {
+        k: os.environ.get(k)
+        for k in ("AWS_SECRET_ACCESS_KEY", "AWS_SESSION_TOKEN")
+    }
+    try:
+        os.environ["AWS_SECRET_ACCESS_KEY"] = "rotated-secret"
+        fs2, _ = fsio._s3(f"s3://{BUCKET}/x")
+        assert len(fsio._s3_cache) == 2, "secret rotation reused stale client"
+        os.environ["AWS_SESSION_TOKEN"] = "fresh-token"
+        fsio._s3(f"s3://{BUCKET}/x")
+        assert len(fsio._s3_cache) == 3, "token rotation reused stale client"
+        # and no cache key may contain the secret material itself
+        for key in fsio._s3_cache:
+            assert "rotated-secret" not in repr(key)
+            assert "fresh-token" not in repr(key)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        fsio._s3_cache.clear()
+
+
 def test_s3_epoch_listing_shape(spark, s3_env):
     # the epoch-dir listing pattern used by compact_epochs/read paths:
     # epoch=N/ prefixes must come back as directory names
