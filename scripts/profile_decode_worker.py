@@ -45,6 +45,7 @@ def materialize_pruned(n_rows: int, out_dir: str) -> tuple[int, object]:
     from colcrush.fixtures import source_code_df
     from colcrush.session import get_spark
 
+    profile = os.environ.get("COLCRUSH_PROFILE", "balanced")
     spark = get_spark("profile-decode-prep", cores=8, driver_memory="16g")
     src = source_code_df(spark, n_rows, n_repos=50)
     raw = src.agg(
@@ -57,7 +58,12 @@ def materialize_pruned(n_rows: int, out_dir: str) -> tuple[int, object]:
         )
     ).collect()[0][0]
     ds = os.path.join(os.path.dirname(out_dir), "ds")
-    write_encoded(src, ds, mode="overwrite", group_cols=["repo", "lang"])
+    # COLCRUSH_PROFILE=archive measures the zstd entropy layer's decode
+    # cost over the same fixture (the other half of the Pareto)
+    write_encoded(
+        src, ds, mode="overwrite", group_cols=["repo", "lang"],
+        profile=profile,
+    )
     pruned, fn, _ = decode_prepare(read_chunks(spark, ds), read_schema(ds))
     # uncompressed parquet: replay reads must not pay snappy CPU the
     # real worker never pays (its input arrives as arrow IPC)
@@ -99,6 +105,7 @@ def main() -> None:
             n_out = replay(files, fn)
             best = min(best, time.process_time() - t0)
         print(
+            f"profile={os.environ.get('COLCRUSH_PROFILE', 'balanced')} "
             f"decode_worker_cpu_sec={best:.3f} rows_out={n_out} "
             f"mbps_raw_per_cpu={raw / best / 1e6:.1f}"
         )
