@@ -11,6 +11,15 @@ decode of a dataset encoded ONCE up front (encode cost excluded; a
 Appends a decode section to BENCH/BASELINE.md (replacing any previous
 decode section) and logs to BENCH/history_decode.jsonl.
 
+COLCRUSH_DECSCALE_PROJECTED_ONLY=1 measures ONLY the projected
+(2-of-5-column) decode — the r7 verdict asked for projected-decode
+scaling at walls big enough (>~10 s at 4N) that fixed per-job cost
+stops polluting the ratio, which needs ~8x the rows and would make the
+full-decode passes needlessly expensive. In this mode the warm-up is
+projected too, and the result replaces its own separate
+"Projected-decode scaling" BASELINE.md section instead of the main
+decode section (the full-decode gate evidence stays intact).
+
 Usage: python scripts/decode_scaling.py [N] [rows]
 """
 
@@ -27,6 +36,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PIN = os.environ.get("COLCRUSH_SCALING_PIN", "0") == "1"
+PROJECTED_ONLY = os.environ.get("COLCRUSH_DECSCALE_PROJECTED_ONLY", "0") == "1"
 
 _CPU_WALKER = """
 def _tree_cpu_sec():
@@ -109,10 +119,16 @@ from colcrush.engine.decoder import decode_table
 {_CPU_WALKER}
 spark = get_spark("decode-scaling", cores={cpus}, driver_memory="48g")
 schema = read_schema({path!r})
-# warm-up: spawn all python workers + JIT + arrow paths, full-size pass
-decode_table(read_chunks(spark, {path!r}), schema).count()
+projected_only = {PROJECTED_ONLY!r}
+# warm-up: spawn all python workers + JIT + arrow paths; match the
+# measured workload (projected-only campaigns must not pay a full pass)
+warm_cols = ["path", "lang"] if projected_only else None
+decode_table(read_chunks(spark, {path!r}), schema, columns=warm_cols).count()
 best = {{}}
-for name, cols in (("full", None), ("projected", ["path", "lang"])):
+workloads = (("full", None), ("projected", ["path", "lang"]))
+if projected_only:
+    workloads = (("projected", ["path", "lang"]),)
+for name, cols in workloads:
     w, c = None, None
     for _ in range(2):
         chunks = read_chunks(spark, {path!r})
@@ -123,7 +139,8 @@ for name, cols in (("full", None), ("projected", ["path", "lang"])):
         c = cpu if c is None or cpu < c else c
     best[name + "_wall"] = round(w, 3)
     best[name + "_cpu"] = round(c, 2)
-best["gbps"] = round({raw_bytes} / best["full_wall"] / 1e9, 4)
+if not projected_only:
+    best["gbps"] = round({raw_bytes} / best["full_wall"] / 1e9, 4)
 best["proj_gbps"] = round({raw_bytes} / best["projected_wall"] / 1e9, 4)
 best["cpus"] = {cpus}
 print("RESULT " + json.dumps(best))
@@ -136,6 +153,72 @@ def _median(xs):
     xs = sorted(xs)
     m = len(xs) // 2
     return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+
+def _report_projected_only(
+    n, rows, raw_bytes, pairs, trials_n, trials_4n, med_proj,
+    med_proj_work, repeats,
+):
+    """History + BASELINE.md section for a projected-only campaign
+    (replaces only its own section; the full-decode gate section from
+    the standard campaign is preserved)."""
+    result = {
+        "kind": "decode_projected_only",
+        "N": n,
+        "rows": rows,
+        "pinned": PIN,
+        "raw_bytes": raw_bytes,
+        "pair_efficiencies_projected": [p["proj"] for p in pairs],
+        "pair_work_efficiencies_projected": [p["proj_work"] for p in pairs],
+        "median_pair_eff_projected": med_proj,
+        "work_efficiency_median_projected": med_proj_work,
+        "best_proj_gbps_N": max(t["proj_gbps"] for t in trials_n),
+        "best_proj_gbps_4N": max(t["proj_gbps"] for t in trials_4n),
+        "median_proj_wall_N": _median([t["projected_wall"] for t in trials_n]),
+        "median_proj_wall_4N": _median([t["projected_wall"] for t in trials_4n]),
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(result))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "history_decode.jsonl"), "a") as f:
+        f.write(json.dumps(result) + "\n")
+    verdict = "**MET** (>= 0.8)" if med_proj >= 0.8 else (
+        "**NOT MET** at this window (work efficiency below is the"
+        " throttle-proof companion)"
+    )
+    md = f"""
+## Projected-decode scaling at meaningful walls (r7 verdict #3)
+
+The standard campaign's projected walls at 4N were only ~1.3-1.9 s,
+where a fixed per-job cost (~0.35-0.5 s) is ~25%% of the wall — too
+small to attribute a sub-0.8 ratio. This campaign sizes the SAME
+projected (2-of-5-column) workload at {rows:,} rows
+({raw_bytes/1e9:.2f} GB raw) so 4N walls are meaningful:
+median projected wall {result["median_proj_wall_4N"]} s at 4N,
+{result["median_proj_wall_N"]} s at N
+({repeats} interleaved (local[{n}], local[{4*n}]) pairs, fresh JVMs,
+{"pinned to exactly N / 4N cores" if PIN else "unpinned"}).
+
+Projected wall efficiency (median of pairs): **{med_proj}** — {verdict}.
+Projected WORK efficiency (CPU-s N / CPU-s 4N, median):
+**{med_proj_work}**.
+
+| metric | local[{n}] (N) | local[{4*n}] (4N) |
+|---|---|---|
+| projected decode (GB/s raw, best) | {result["best_proj_gbps_N"]} | {result["best_proj_gbps_4N"]} |
+| projected wall (s, median) | {result["median_proj_wall_N"]} | {result["median_proj_wall_4N"]} |
+
+Projected pairs: {[p["proj"] for p in pairs]}; work pairs:
+{[p["proj_work"] for p in pairs]}.
+"""
+    base = os.path.join(REPO, "BENCH", "BASELINE.md")
+    text = ""
+    if os.path.exists(base):
+        with open(base) as f:
+            text = f.read()
+        text = re.split(r"\n## Projected-decode scaling at meaningful walls", text)[0]
+    with open(base, "w") as f:
+        f.write(text + md)
 
 
 def main():
@@ -166,16 +249,28 @@ def main():
             b = decode_job(4 * n, path, raw_bytes)
             trials_n.append(a)
             trials_4n.append(b)
-            pairs.append(
-                {
-                    "full": round(b["gbps"] / (4 * a["gbps"]), 3),
-                    "proj": round(b["proj_gbps"] / (4 * a["proj_gbps"]), 3),
-                    "work": round(a["full_cpu"] / max(1e-9, b["full_cpu"]), 3),
-                }
-            )
+            pair = {
+                "proj": round(b["proj_gbps"] / (4 * a["proj_gbps"]), 3),
+                "proj_work": round(
+                    a["projected_cpu"] / max(1e-9, b["projected_cpu"]), 3
+                ),
+            }
+            if not PROJECTED_ONLY:
+                pair["full"] = round(b["gbps"] / (4 * a["gbps"]), 3)
+                pair["work"] = round(
+                    a["full_cpu"] / max(1e-9, b["full_cpu"]), 3
+                )
+            pairs.append(pair)
             print(json.dumps({"pair": pairs[-1], "N": a, "4N": b}))
-        med_full = _median([p["full"] for p in pairs])
         med_proj = _median([p["proj"] for p in pairs])
+        med_proj_work = _median([p["proj_work"] for p in pairs])
+        if PROJECTED_ONLY:
+            _report_projected_only(
+                n, rows, raw_bytes, pairs, trials_n, trials_4n,
+                med_proj, med_proj_work, repeats,
+            )
+            return
+        med_full = _median([p["full"] for p in pairs])
         med_work = _median([p["work"] for p in pairs])
         result = {
             "kind": "decode",
