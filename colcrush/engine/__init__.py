@@ -3,6 +3,7 @@
 
 from .dataset import (
     read_chunks,
+    read_chunks_colocated,
     register_view,
     compact_epochs,
     read_decoded,
@@ -23,6 +24,7 @@ __all__ = [
     "write_encoded",
     "resume_encode",
     "read_chunks",
+    "read_chunks_colocated",
     "read_manifest",
     "read_schema",
     "read_decoded",

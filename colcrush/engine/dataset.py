@@ -195,6 +195,145 @@ def read_chunks(spark: SparkSession, path: str) -> DataFrame:
     return reader.parquet(direct)
 
 
+def _committed_chunk_dirs(path: str) -> list[str]:
+    """The chunks/ directories a reader sees (same commit-view rules as
+    read_chunks: direct layout wins, else committed epochs)."""
+    if _direct_committed(path):
+        return [fsio.join(path, CHUNKS_DIR)]
+    epochs = _committed_epoch_dirs(path)
+    if epochs:
+        return [fsio.join(e, CHUNKS_DIR) for e in epochs]
+    return [fsio.join(path, CHUNKS_DIR)]
+
+
+# the four chunk-row fields decode needs; the colocated reader emits
+# exactly these so unrequested parquet columns are never read
+COLOCATED_DDL = "chunk_id string, column string, payload binary, payload_ck bigint"
+
+
+def _colocated_file_df(spark: SparkSession, path: str) -> "DataFrame | None":
+    """One row per committed chunk part file, greedy size-binned into
+    min(n_files, defaultParallelism) bins. 1x parallelism, not an
+    oversubscribed multiple: a python-stage TASK costs ~0.2 CPU-s of
+    worker/arrow-stream setup (measured interleaved: 32 bins cost
+    +4.8 CPU-s over 8 bins for identical work at bench scale), which is
+    also why AQE's parallelismFirst coalesces the default read path to
+    ~defaultParallelism tasks — matching it keeps the colocated plan
+    at CPU parity. Greedy largest-first size-binning bounds bin skew by
+    the largest single file (a file is never split). None when the
+    dataset has no part files. The file list is driver-side, same as
+    Spark's own file-source listing."""
+    files: list[tuple[str, int]] = []
+    for d in _committed_chunk_dirs(path):
+        for name, size in fsio.list_files(d):
+            if name.endswith(".parquet"):
+                files.append((fsio.join(d, name), size))
+    if not files:
+        return None
+    n_bins = min(len(files), spark.sparkContext.defaultParallelism)
+    loads = [0] * n_bins
+    binned: list[tuple[int, str]] = []
+    # largest-first into the least-loaded bin; file-path tiebreak keeps
+    # the assignment deterministic
+    for f, size in sorted(files, key=lambda t: (-t[1], t[0])):
+        b = loads.index(min(loads))
+        loads[b] += size
+        binned.append((b, f))
+    return spark.createDataFrame(binned, "bin int, file string").repartition(
+        n_bins, "bin"
+    )
+
+
+def _chunk_file_batches(files, requested: "list[str] | None"):
+    """Yield normalized chunk-row batches (chunk_id, column, payload,
+    payload_ck) from whole chunk part files — pyarrow-read inside the
+    worker. Mirrors the explicit-schema Spark read: absent payload_ck
+    (pre-r6 files) reads as NULLs, unknown columns are never read.
+    ``requested`` (original-table column names) prunes rows before any
+    payload leaves the reader; batch_size is row-bounded low because a
+    single chunk-column payload can be MBs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    want_set = pa.array(requested, type=pa.string()) if requested else None
+    target = pa.schema(
+        [
+            ("chunk_id", pa.string()),
+            ("column", pa.string()),
+            ("payload", pa.binary()),
+            ("payload_ck", pa.int64()),
+        ]
+    )
+    for f in files:
+        pf = pq.ParquetFile(fsio.open_input_file(f))
+        present = set(pf.schema_arrow.names)
+        cols = [c for c in target.names if c in present]
+        for rb in pf.iter_batches(columns=cols, batch_size=256):
+            if want_set is not None:
+                rb = rb.filter(
+                    pc.is_in(rb.column("column"), value_set=want_set)
+                )
+            if rb.num_rows == 0:
+                continue
+            arrays = []
+            for field in target:
+                if field.name in present:
+                    arrays.append(rb.column(field.name).cast(field.type))
+                else:
+                    arrays.append(pa.nulls(rb.num_rows, field.type))
+            yield pa.record_batch(arrays, schema=target)
+
+
+def read_chunks_colocated(
+    spark: SparkSession, path: str, columns: "list[str] | None" = None
+) -> DataFrame:
+    """Chunk rows for decode with per-task chunk COMPLETENESS, so
+    ``decode_table(..., assume_colocated=True)`` can skip the
+    chunk_id repartition — at 100 TB that exchange moves the entire
+    encoded payload (~10 TB for a full read at our ratios).
+
+    Why whole files are safe: every encoder task writes each chunk's
+    rows contiguously into exactly one part file (output batches pack
+    whole chunks; one file per task per write, maxRecordsPerFile
+    unset), and compact_epochs repartitions on chunk_id before its
+    rewrite — so every committed part file holds only whole chunks.
+    Each task here pyarrow-reads whole files (never splits one), which
+    preserves that completeness; the decoder still FAILS LOUDLY on an
+    incomplete chunk (decoder.py), so a dataset compacted by a
+    pre-r8 engine (whose rewrite could split a chunk across files)
+    raises instead of mis-decoding — fall back to read_chunks there.
+
+    NOTE: for an end-to-end decode prefer ``read_decoded(...,
+    colocated=True)`` — it FUSES this reader with the decode worker in
+    one mapInArrow stage, so payload bytes never cross a process
+    boundary. Using this DataFrame with decode_table chains two Python
+    stages and pays a python->JVM->python round trip of every payload
+    (measured slower than the shuffle path at bench scale).
+
+    Local and s3:// datasets only (pyarrow-openable from Python
+    workers); JVM-only schemes raise in fsio.open_input_file.
+    """
+    fdf = _colocated_file_df(spark, path)
+    if fdf is None:
+        # preserve read_chunks' behavior on an empty/missing dataset
+        return read_chunks(spark, path).select(
+            "chunk_id", "column", "payload", "payload_ck"
+        )
+    requested = list(columns) if columns is not None else None
+
+    def fn(it):
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        for batch in it:
+            yield from _chunk_file_batches(
+                batch.column("file").to_pylist(), requested
+            )
+
+    return fdf.mapInArrow(fn, COLOCATED_DDL)
+
+
 COMPACTED_FILE = "_compacted.json"
 
 
@@ -254,7 +393,14 @@ def compact_epochs(spark: SparkSession, path: str) -> int:
         *[fsio.join(e, CHUNKS_DIR) for e in epochs]
     )
     (
-        chunks.write.mode("overwrite")
+        # repartition on chunk_id: the compacted rewrite must keep each
+        # chunk's rows within ONE output file (Spark's read can split a
+        # source file mid-chunk at a row-group boundary) so the
+        # colocated read path stays valid after maintenance. One extra
+        # shuffle during a one-time compaction buys every future read
+        # its shuffle-free plan — the right trade at 100 TB.
+        chunks.repartition("chunk_id")
+        .write.mode("overwrite")
         .option("compression", "uncompressed")
         .parquet(fsio.join(path, CHUNKS_DIR))
     )
@@ -280,11 +426,51 @@ def read_decoded(
     path: str,
     columns: list[str] | None = None,
     decimal_formats: dict[str, tuple[int, int]] | None = None,
+    colocated: bool = False,
 ) -> DataFrame:
     """Full decode of a persisted dataset (optionally projected).
     ``decimal_formats`` rescales stored decimal columns on read
-    (parquet4s rescaleOnRead, HALF_UP — see decoder._rescale_decimal)."""
+    (parquet4s rescaleOnRead, HALF_UP — see decoder._rescale_decimal).
+
+    ``colocated=True`` FUSES the whole-file chunk reader with the
+    decode worker in a single mapInArrow stage: no chunk_id exchange,
+    and payload bytes never cross a process boundary (disk -> pyarrow
+    read -> decode -> decoded rows out). Measured (480k rows,
+    interleaved pinned pairs): shuffle write 107.1 MB -> 0.005 MB (the
+    payload exchange is gone; only the file list shuffles), total CPU
+    8.2 vs 9.0 CPU-s (wins), wall ~1.8 vs ~1.4 s (loses slightly at
+    bench scale — static size-bins vs AQE's runtime partitioning). The
+    trade GROWS with data: at 100 TB the eliminated exchange is ~10 TB
+    of shuffle disk+network per full read, plus no shuffle files to
+    lose on executor death. Local/s3 datasets written by this engine;
+    the decoder raises loudly if the colocation precondition does not
+    hold (e.g. a pre-r8 compaction split a chunk across files), so it
+    never mis-decodes — fall back to the default path there."""
     schema = read_schema(path)
+    if colocated:
+        fdf = _colocated_file_df(spark, path)
+        if fdf is not None:
+            from .decoder import decode_worker
+
+            ordered, out_schema, decode_fn = decode_worker(
+                schema, columns=columns, decimal_formats=decimal_formats,
+            )
+
+            def fused(it):
+                import pyarrow as pa
+
+                pa.set_cpu_count(1)
+
+                def chunk_rows():
+                    for batch in it:
+                        yield from _chunk_file_batches(
+                            batch.column("file").to_pylist(), ordered
+                        )
+
+                yield from decode_fn(chunk_rows())
+
+            return fdf.mapInArrow(fused, out_schema)
+        # empty dataset: fall through to the standard (empty) plan
     return decode_table(
         read_chunks(spark, path), schema, columns=columns,
         decimal_formats=decimal_formats,

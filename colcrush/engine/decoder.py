@@ -142,6 +142,38 @@ def decode_prepare(
     measured decode-worker costs are the REAL worker over the REAL
     pruned stream, mirroring encoder.encode_prepare.
     """
+    columns, out_schema, fn = decode_worker(
+        schema,
+        columns=columns,
+        decimal_formats=decimal_formats,
+        with_ck=verify_checksums and "payload_ck" in chunks.columns,
+    )
+    with_ck = verify_checksums and "payload_ck" in chunks.columns
+    pruned = chunks.where(chunks["column"].isin(columns)).select(
+        "chunk_id", "column", "payload",
+        *(["payload_ck"] if with_ck else []),
+    )
+    if not assume_colocated:
+        # partition count from spark.sql.shuffle.partitions (+ AQE
+        # coalescing), which scales with the cluster — a fixed
+        # defaultParallelism would underparallelize a 100 TB decode
+        pruned = pruned.repartition("chunk_id")
+    return pruned, fn, out_schema
+
+
+def decode_worker(
+    schema: T.StructType,
+    columns: list[str] | None = None,
+    decimal_formats: dict[str, tuple[int, int]] | None = None,
+    with_ck: bool = True,
+):
+    """The worker half of the decode seam, DataFrame-free: returns
+    ``(ordered_columns, out_schema, fn)`` where ``fn`` maps an iterator
+    of chunk-row batches (chunk_id, column, payload[, payload_ck]) to
+    decoded row batches. decode_prepare wires it behind a chunk
+    DataFrame; the fused colocated read path (dataset.read_decoded
+    with colocated=True) composes it directly with the in-worker file
+    reader so payload bytes never cross a process boundary."""
     requested = set(columns or [f.name for f in schema.fields])
     missing = requested - {f.name for f in schema.fields}
     if missing:
@@ -166,17 +198,6 @@ def decode_prepare(
         ]
     )
     n_expected = len(columns)
-
-    with_ck = verify_checksums and "payload_ck" in chunks.columns
-    pruned = chunks.where(chunks["column"].isin(columns)).select(
-        "chunk_id", "column", "payload",
-        *(["payload_ck"] if with_ck else []),
-    )
-    if not assume_colocated:
-        # partition count from spark.sql.shuffle.partitions (+ AQE
-        # coalescing), which scales with the cluster — a fixed
-        # defaultParallelism would underparallelize a 100 TB decode
-        pruned = pruned.repartition("chunk_id")
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pa.set_cpu_count(1)  # executor runs one worker per core already
@@ -215,4 +236,4 @@ def decode_prepare(
                 f"incomplete chunks after decode: {list(pending)[:5]}"
             )
 
-    return pruned, fn, out_schema
+    return columns, out_schema, fn

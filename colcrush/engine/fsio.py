@@ -144,6 +144,53 @@ def listdir(path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
+def list_files(path: str) -> list[tuple[str, int]]:
+    """(basename, size_bytes) of the regular files directly under
+    ``path`` (no recursion). Used by the colocated chunk reader to
+    enumerate part files with sizes for task balancing."""
+    if not has_scheme(path):
+        out = []
+        with os.scandir(path) as it:
+            for e in it:
+                if e.is_file():
+                    out.append((e.name, e.stat().st_size))
+        return out
+    if _is_s3(path):
+        from pyarrow import fs as pafs
+
+        s3, key = _s3(path)
+        infos = s3.get_file_info(pafs.FileSelector(key))
+        return [
+            (i.path.rstrip("/").rsplit("/", 1)[-1], int(i.size))
+            for i in infos
+            if i.type == pafs.FileType.File
+        ]
+    _, fs, p = _fs(path)
+    return [
+        (st.getPath().getName(), int(st.getLen()))
+        for st in fs.listStatus(p)
+        if st.isFile()
+    ]
+
+
+def open_input_file(path: str):
+    """A pyarrow-readable binary input for a chunk part file. Local and
+    s3:// paths open natively in Python workers; JVM-only schemes
+    (hdfs://, viewfs://) have no pyarrow handle here and raise — the
+    caller falls back to the Spark-scan + shuffle read path."""
+    if not has_scheme(path):
+        return path  # pq.ParquetFile accepts a plain path
+    if path.startswith("file:"):
+        return path[len("file:"):] or "/"
+    if _is_s3(path):
+        s3, key = _s3(path)
+        return s3.open_input_file(key)
+    raise ValueError(
+        f"no pyarrow file handle for scheme path {path!r} (local and "
+        "s3:// only) — use the default read_chunks path"
+    )
+
+
 def makedirs(path: str) -> None:
     if not has_scheme(path):
         os.makedirs(path, exist_ok=True)

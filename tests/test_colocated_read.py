@@ -1,0 +1,173 @@
+"""Shuffle-free colocated read path (engine/dataset.py r8).
+
+read_decoded(colocated=True) fuses a whole-file pyarrow chunk reader
+with the decode worker in ONE mapInArrow stage: the chunk_id exchange
+(which moves every encoded payload byte — ~10 TB per full read at
+100 TB) disappears, and payload bytes never cross a process boundary.
+These tests pin value equality with the default path, the shuffle-free
+plan, legacy-file NULL-checksum tolerance, corruption detection, and
+that compaction preserves the whole-chunks-per-file precondition.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import pyspark.sql.functions as F
+
+from colcrush.engine import (
+    compact_epochs,
+    decode_table,
+    read_chunks_colocated,
+    read_decoded,
+    write_encoded,
+)
+from colcrush.engine.dataset import CHUNKS_DIR, read_schema
+from colcrush.fixtures import source_code_df
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _drop_stale_crc_siblings(chunks_dir):
+    """Rewriting a part file with pyarrow invalidates the Hadoop local
+    FS .crc sidecar Spark wrote; drop them so the DEFAULT read path
+    (used as the comparison oracle) doesn't fail on its own checksum."""
+    for n in os.listdir(chunks_dir):
+        if n.endswith(".crc"):
+            os.remove(os.path.join(chunks_dir, n))
+
+
+def test_colocated_matches_default_full_and_projected(spark, tmp_path):
+    ds = str(tmp_path / "ds")
+    write_encoded(
+        source_code_df(spark, 400, n_repos=6), ds,
+        mode="overwrite", group_cols=["repo", "lang"],
+    )
+    # an append adds part files; per-file chunk completeness must hold
+    # across revisions of the same dataset
+    write_encoded(
+        source_code_df(spark, 200, n_repos=6).withColumn(
+            "commit", F.concat(F.lit("b"), "commit")
+        ),
+        ds, mode="append", group_cols=["repo", "lang"],
+    )
+    assert _rows(read_decoded(spark, ds, colocated=True)) == _rows(
+        read_decoded(spark, ds)
+    )
+    assert _rows(
+        read_decoded(spark, ds, columns=["path", "lang"], colocated=True)
+    ) == _rows(read_decoded(spark, ds, columns=["path", "lang"]))
+
+
+def test_colocated_plan_has_no_payload_exchange(spark, tmp_path):
+    ds = str(tmp_path / "ds")
+    write_encoded(
+        source_code_df(spark, 200, n_repos=4), ds,
+        mode="overwrite", group_cols=["lang"],
+    )
+    plan = (
+        read_decoded(spark, ds, colocated=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    # exactly one exchange: the file-list bin repartition (path strings,
+    # not payloads); the chunk_id exchange of the default path is gone
+    assert len(exchanges) == 1, exchanges
+    assert "bin" in exchanges[0]
+    default_plan = (
+        read_decoded(spark, ds)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning(chunk_id" in default_plan
+
+
+def test_colocated_reads_legacy_file_without_payload_ck(spark, tmp_path):
+    """A pre-r6 part file has no payload_ck column; the colocated
+    reader must surface NULL checksums (per-row skip), matching the
+    explicit-schema Spark read."""
+    ds = str(tmp_path / "ds")
+    write_encoded(
+        source_code_df(spark, 150, n_repos=3), ds,
+        mode="overwrite", group_cols=["lang"],
+    )
+    chunks_dir = os.path.join(ds, CHUNKS_DIR)
+    for name in os.listdir(chunks_dir):
+        if not name.endswith(".parquet"):
+            continue
+        f = os.path.join(chunks_dir, name)
+        tbl = pq.read_table(f)
+        if "payload_ck" in tbl.column_names:
+            pq.write_table(tbl.drop_columns(["payload_ck"]), f)
+    _drop_stale_crc_siblings(chunks_dir)
+    got = read_decoded(spark, ds, colocated=True)
+    assert _rows(got) == _rows(read_decoded(spark, ds))
+
+
+def test_colocated_detects_payload_corruption(spark, tmp_path):
+    """Bit rot on a part file must still fail loudly through the fused
+    path (decode-time checksum verify is not bypassed by the reader)."""
+    ds = str(tmp_path / "ds")
+    write_encoded(
+        source_code_df(spark, 150, n_repos=3), ds,
+        mode="overwrite", group_cols=["lang"],
+    )
+    chunks_dir = os.path.join(ds, CHUNKS_DIR)
+    victim = sorted(
+        n for n in os.listdir(chunks_dir) if n.endswith(".parquet")
+    )[0]
+    f = os.path.join(chunks_dir, victim)
+    tbl = pq.read_table(f)
+    payloads = tbl.column("payload").to_pylist()
+    payloads[0] = bytes([payloads[0][0] ^ 0xFF]) + payloads[0][1:]
+    arrays = [
+        pa.array(payloads, type=pa.binary())
+        if name == "payload"
+        else tbl.column(name)
+        for name in tbl.column_names
+    ]
+    pq.write_table(
+        pa.table(arrays, names=tbl.column_names), f
+    )
+    _drop_stale_crc_siblings(chunks_dir)
+    with pytest.raises(Exception, match="integrity"):
+        read_decoded(spark, ds, colocated=True).count()
+
+
+def test_colocated_across_epochs_and_compaction(spark, tmp_path):
+    """Epoch-view datasets read colocated; compaction (which now
+    repartitions on chunk_id before its rewrite) preserves the
+    whole-chunks-per-file precondition, so the colocated read keeps
+    working on the compacted base layout."""
+    ds = str(tmp_path / "ds")
+    df = source_code_df(spark, 300, n_repos=4)
+    write_encoded(
+        df.where(F.col("lang") < "m"), os.path.join(ds, "epoch=00000000"),
+        mode="overwrite", group_cols=["lang"], namespace="epoch-0",
+    )
+    write_encoded(
+        df.where(F.col("lang") >= "m"), os.path.join(ds, "epoch=00000001"),
+        mode="overwrite", group_cols=["lang"], namespace="epoch-1",
+    )
+    before = _rows(read_decoded(spark, ds, colocated=True))
+    assert len(before) == 300
+    assert compact_epochs(spark, ds) == 2
+    assert _rows(read_decoded(spark, ds, colocated=True)) == before
+
+
+def test_read_chunks_colocated_standalone(spark, tmp_path):
+    """The unfused chunk DF keeps the decode_table contract
+    (assume_colocated=True) — the documented fallback surface."""
+    ds = str(tmp_path / "ds")
+    write_encoded(
+        source_code_df(spark, 200, n_repos=4), ds,
+        mode="overwrite", group_cols=["lang"],
+    )
+    chunks = read_chunks_colocated(spark, ds)
+    got = decode_table(chunks, read_schema(ds), assume_colocated=True)
+    assert _rows(got) == _rows(read_decoded(spark, ds))
