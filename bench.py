@@ -344,6 +344,19 @@ def persisted_decode_probe(spark, n_rows: int) -> dict:
                 ).count()
                 w = min(w, time.time() - t0)
             best[tag] = w
+        # shuffle-free colocated read (r8): same persisted dataset, the
+        # fused whole-file-reader + decode-worker plan — continuity
+        # series for the path a 100 TB full read would take (the
+        # chunk_id exchange of the default plan moves every encoded
+        # payload byte; this one moves none)
+        from colcrush.engine import read_decoded
+
+        w = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            read_decoded(spark, path, colocated=True).count()
+            w = min(w, time.time() - t0)
+        best["colocated"] = w
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -352,15 +365,23 @@ def persisted_decode_probe(spark, n_rows: int) -> dict:
         "projected_decode_speedup_persisted": round(
             best["full"] / max(0.001, best["projected"]), 2
         ),
+        "persisted_colocated_decode_sec": round(best["colocated"], 3),
     }
 
 
-def _latest_record(name: str) -> dict:
+def _latest_record(name: str, kind: str | None = None) -> dict:
+    """Last record in a BENCH history file; with ``kind``, the last
+    record whose "kind" matches (history_decode.jsonl interleaves full
+    campaigns with projected-only ones — r8)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", name)
     try:
         with open(path) as f:
             lines = [ln for ln in f if ln.strip()]
-        return json.loads(lines[-1])
+        for ln in reversed(lines):
+            rec = json.loads(ln)
+            if kind is None or rec.get("kind") == kind:
+                return rec
+        return {}
     except (OSError, ValueError, IndexError):
         return {}
 
@@ -369,7 +390,7 @@ def _campaign_projection() -> dict:
     """Latest pinned 4M-row decode-campaign projection figures
     (BENCH/history_decode.jsonl) with provenance — see the
     projected-decode continuity rule in the module docstring."""
-    rec = _latest_record("history_decode.jsonl")
+    rec = _latest_record("history_decode.jsonl", kind="decode")
     try:
         return {
             "projected_decode_speedup_campaign": round(
@@ -395,13 +416,21 @@ def _campaign_scaling() -> dict:
         out["scaling_encode_work_eff"] = enc["work_efficiency_cpu"]
     if "output_byte_identical_N_4N" in enc:
         out["scaling_output_byte_identical"] = enc["output_byte_identical_N_4N"]
-    dec = _latest_record("history_decode.jsonl")
+    dec = _latest_record("history_decode.jsonl", kind="decode")
     if "median_pair_eff_full" in dec:
         out["scaling_decode_wall_med"] = dec["median_pair_eff_full"]
     if "median_pair_eff_projected" in dec:
         out["scaling_decode_projected_med"] = dec["median_pair_eff_projected"]
     if "work_efficiency_median" in dec:
         out["scaling_decode_work_eff"] = dec["work_efficiency_median"]
+    # the meaningful-walls projected-only campaign (r8): its median at
+    # 4N walls past the fixed-cost regime supersedes the small-wall
+    # projected number for gate purposes
+    proj = _latest_record("history_decode.jsonl", kind="decode_projected_only")
+    if "median_pair_eff_projected" in proj:
+        out["scaling_decode_projected_bigwall_med"] = proj[
+            "median_pair_eff_projected"
+        ]
     return out
 
 
@@ -430,11 +459,13 @@ _HEADLINE_OPTIONAL = (
     "exec8_decode_mbps_raw_per_cpu",
     "exec8_pinned",
     "exec8_projected_decode_speedup_persisted",
+    "exec8_persisted_colocated_decode_sec",
     # N-vs-4N scaling gate (latest campaign, BENCH/history*.jsonl)
     "scaling_encode_wall_med",
     "scaling_encode_work_eff",
     "scaling_decode_wall_med",
     "scaling_decode_projected_med",
+    "scaling_decode_projected_bigwall_med",
     "scaling_decode_work_eff",
     "scaling_output_byte_identical",
     # projected-decode continuity (module docstring rule)
