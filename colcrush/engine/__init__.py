@@ -2,6 +2,7 @@
 (group) partitioning, chunk manifests, resumable datasets, pruned scans."""
 
 from .dataset import (
+    ensure_file_map,
     read_chunks,
     read_chunks_colocated,
     register_view,
@@ -25,6 +26,7 @@ __all__ = [
     "resume_encode",
     "read_chunks",
     "read_chunks_colocated",
+    "ensure_file_map",
     "read_manifest",
     "read_schema",
     "read_decoded",

@@ -130,6 +130,13 @@ def write_encoded(
         # write cost stays proportional to the increment at 100 TB
         manifest = encoded.select(*MANIFEST_COLS)
         manifest.write.mode(write_mode).parquet(manifest_path)
+        # chunk->file sidecar AFTER the commit (incremental: maps only
+        # the files this write added; overwrite invalidates the old map
+        # first — its rows reference replaced files). A crash before
+        # this point just leaves the marker stale and scans fall back.
+        if write_mode == "overwrite":
+            fsio.rmtree(fsio.join(path, FILE_MAP_DIR))
+        ensure_file_map(df.sparkSession, path)
     finally:
         if encoded is not None:
             encoded.unpersist()
@@ -211,7 +218,135 @@ def _committed_chunk_dirs(path: str) -> list[str]:
 COLOCATED_DDL = "chunk_id string, column string, payload binary, payload_ck bigint"
 
 
-def _colocated_file_df(spark: SparkSession, path: str) -> "DataFrame | None":
+def _committed_part_files(path: str) -> list[tuple[str, str, int]]:
+    """(relative, full, size) of every committed chunk part file.
+    Relative paths (vs the dataset root) are what the file_map sidecar
+    stores, so a dataset can be relocated without invalidating it."""
+    root = path.rstrip("/")
+    out = []
+    for d in _committed_chunk_dirs(path):
+        for name, size in fsio.list_files(d):
+            if name.endswith(".parquet"):
+                full = fsio.join(d, name)
+                out.append((full[len(root) + 1 :], full, size))
+    return out
+
+
+def _file_set_fingerprint(rels: "list[str]") -> dict:
+    """Order-independent fingerprint of a part-file name set: xor of
+    md5 prefixes + count. O(1) driver memory beyond the listing the
+    caller already holds."""
+    import hashlib
+
+    acc = 0
+    for r in rels:
+        acc ^= int(hashlib.md5(r.encode()).hexdigest()[:16], 16)
+    return {"n_files": len(rels), "xor_md5": acc}
+
+
+FILE_MAP_DIR = "file_map"
+_FILE_MAP_MARKER = "_complete.json"
+_FILE_MAP_DDL = "file string, chunk_id string"
+
+
+def ensure_file_map(spark: SparkSession, path: str) -> int:
+    """Bring the chunk->file sidecar up to date; returns the number of
+    newly mapped part files.
+
+    The sidecar is one row per (part file, chunk_id) — built by reading
+    ONLY each new file's chunk_id column (a metadata-scale columnar
+    read, no payload pages). It is what lets a selective scan open
+    ONLY the files containing surviving chunks instead of scanning the
+    whole chunks table: at the 100 TB / ~3M-file shape a bloom point
+    lookup goes from touching every file's chunk rows to opening a
+    handful of files. Idempotent and incremental (anti-join against
+    the existing map — append cost is proportional to new files, the
+    same property the manifest append has); the _complete.json marker
+    stores a fingerprint of the COMMITTED file set, and readers use
+    the map only when their own listing matches it, so a missing or
+    stale sidecar degrades to the default scan, never to wrong rows.
+    Same fall-back discipline as the salt_plan sidecar (r5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = _committed_part_files(path)
+    fm_dir = fsio.join(path, FILE_MAP_DIR)
+    fdf = spark.createDataFrame(
+        [(r, f) for r, f, _ in files] or [("", "")],
+        "file string, full string",
+    ).where(F.col("file") != "")
+    if fsio.exists(fsio.join(fm_dir, "_SUCCESS")):
+        existing = spark.read.schema(_FILE_MAP_DDL).parquet(fm_dir)
+        delta = fdf.join(
+            existing.select("file").distinct(), on="file", how="left_anti"
+        )
+    else:
+        delta = fdf
+    n_delta = delta.count()
+    if n_delta:
+        def fn(it):
+            pa.set_cpu_count(1)
+            for batch in it:
+                rels = batch.column("file").to_pylist()
+                fulls = batch.column("full").to_pylist()
+                for rel, full in zip(rels, fulls):
+                    pf = pq.ParquetFile(fsio.open_input_file(full))
+                    ids: set = set()
+                    for rb in pf.iter_batches(
+                        columns=["chunk_id"], batch_size=8192
+                    ):
+                        ids.update(rb.column("chunk_id").to_pylist())
+                    ids = sorted(ids)
+                    yield pa.record_batch(
+                        [
+                            pa.array([rel] * len(ids), type=pa.string()),
+                            pa.array(ids, type=pa.string()),
+                        ],
+                        names=["file", "chunk_id"],
+                    )
+
+        n_part = min(
+            max(1, n_delta), spark.sparkContext.defaultParallelism
+        )
+        (
+            delta.repartition(n_part)
+            .mapInArrow(fn, _FILE_MAP_DDL)
+            .write.mode("append")
+            .parquet(fm_dir)
+        )
+    # marker written AFTER the rows: a crash in between leaves a stale
+    # fingerprint and readers fall back (never a map missing entries
+    # that the marker claims complete)
+    fsio.write_text_atomic(
+        fsio.join(fm_dir, _FILE_MAP_MARKER),
+        json.dumps(_file_set_fingerprint([r for r, _, _ in files])),
+    )
+    return int(n_delta)
+
+
+def file_map_matches(path: str, rels: "list[str]") -> bool:
+    """True iff the sidecar's completeness marker covers exactly this
+    part-file set (readers pass the listing they already made)."""
+    marker = fsio.join(path, FILE_MAP_DIR, _FILE_MAP_MARKER)
+    if not fsio.exists(marker):
+        return False
+    try:
+        return fsio.read_json(marker) == _file_set_fingerprint(rels)
+    except (OSError, ValueError):
+        return False
+
+
+def read_file_map(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(_FILE_MAP_DDL).parquet(
+        fsio.join(path, FILE_MAP_DIR)
+    )
+
+
+def _colocated_file_df(
+    spark: SparkSession,
+    path: str,
+    files: "list[tuple[str, int]] | None" = None,
+) -> "DataFrame | None":
     """One row per committed chunk part file, greedy size-binned into
     min(n_files, defaultParallelism) bins. 1x parallelism, not an
     oversubscribed multiple: a python-stage TASK costs ~0.2 CPU-s of
@@ -222,12 +357,11 @@ def _colocated_file_df(spark: SparkSession, path: str) -> "DataFrame | None":
     at CPU parity. Greedy largest-first size-binning bounds bin skew by
     the largest single file (a file is never split). None when the
     dataset has no part files. The file list is driver-side, same as
-    Spark's own file-source listing."""
-    files: list[tuple[str, int]] = []
-    for d in _committed_chunk_dirs(path):
-        for name, size in fsio.list_files(d):
-            if name.endswith(".parquet"):
-                files.append((fsio.join(d, name), size))
+    Spark's own file-source listing. ``files`` overrides the listing
+    with an explicit (full_path, size) subset — the file-pruned scan
+    path passes only the files containing surviving chunks."""
+    if files is None:
+        files = [(f, s) for _, f, s in _committed_part_files(path)]
     if not files:
         return None
     n_bins = min(len(files), spark.sparkContext.defaultParallelism)
@@ -384,6 +518,11 @@ def compact_epochs(spark: SparkSession, path: str) -> int:
             )
         for e in epochs:
             fsio.rmtree(e)
+        if epochs:
+            # a crash before the map rebuild left the epoch-based map
+            # behind; refresh it against the base layout
+            fsio.rmtree(fsio.join(path, FILE_MAP_DIR))
+            ensure_file_map(spark, path)
         return 0
     if not epochs:
         return 0
@@ -418,6 +557,10 @@ def compact_epochs(spark: SparkSession, path: str) -> int:
     manifest.write.mode("overwrite").parquet(fsio.join(path, MANIFEST_DIR))
     for e in epochs:
         fsio.rmtree(e)
+    # the old map rows reference epoch files that no longer exist —
+    # rebuild against the fresh base layout
+    fsio.rmtree(fsio.join(path, FILE_MAP_DIR))
+    ensure_file_map(spark, path)
     return len(epochs)
 
 
@@ -448,33 +591,54 @@ def read_decoded(
     never mis-decodes — fall back to the default path there."""
     schema = read_schema(path)
     if colocated:
-        fdf = _colocated_file_df(spark, path)
-        if fdf is not None:
-            from .decoder import decode_worker
-
-            ordered, out_schema, decode_fn = decode_worker(
-                schema, columns=columns, decimal_formats=decimal_formats,
-            )
-
-            def fused(it):
-                import pyarrow as pa
-
-                pa.set_cpu_count(1)
-
-                def chunk_rows():
-                    for batch in it:
-                        yield from _chunk_file_batches(
-                            batch.column("file").to_pylist(), ordered
-                        )
-
-                yield from decode_fn(chunk_rows())
-
-            return fdf.mapInArrow(fused, out_schema)
+        fused = fused_decode(
+            spark, path, schema, columns=columns,
+            decimal_formats=decimal_formats,
+        )
+        if fused is not None:
+            return fused
         # empty dataset: fall through to the standard (empty) plan
     return decode_table(
         read_chunks(spark, path), schema, columns=columns,
         decimal_formats=decimal_formats,
     )
+
+
+def fused_decode(
+    spark: SparkSession,
+    path: str,
+    schema: "T.StructType",
+    columns: list[str] | None = None,
+    decimal_formats: dict[str, tuple[int, int]] | None = None,
+    files: "list[tuple[str, int]] | None" = None,
+) -> "DataFrame | None":
+    """The fused (reader + decoder, one mapInArrow stage) plan over a
+    persisted dataset, or None when there are no part files. ``files``
+    restricts the read to an explicit (full_path, size) subset — the
+    file-pruned scan path. See read_decoded for the measured trade."""
+    fdf = _colocated_file_df(spark, path, files=files)
+    if fdf is None:
+        return None
+    from .decoder import decode_worker
+
+    ordered, out_schema, decode_fn = decode_worker(
+        schema, columns=columns, decimal_formats=decimal_formats,
+    )
+
+    def fused(it):
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+
+        def chunk_rows():
+            for batch in it:
+                yield from _chunk_file_batches(
+                    batch.column("file").to_pylist(), ordered
+                )
+
+        yield from decode_fn(chunk_rows())
+
+    return fdf.mapInArrow(fused, out_schema)
 
 
 def verify_dataset(

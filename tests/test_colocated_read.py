@@ -158,6 +158,110 @@ def test_colocated_across_epochs_and_compaction(spark, tmp_path):
     assert len(before) == 300
     assert compact_epochs(spark, ds) == 2
     assert _rows(read_decoded(spark, ds, colocated=True)) == before
+    # compaction rebuilt the chunk->file sidecar against the base
+    # layout, so the file-pruned scan works on the compacted dataset
+    from colcrush.engine import scan
+    from colcrush.engine.dataset import _committed_part_files, file_map_matches
+
+    assert file_map_matches(ds, [r for r, _, _ in _committed_part_files(ds)])
+    got = scan(
+        spark, ds, columns=["path"], filters=[("lang", "==", "py")],
+        colocated=True,
+    )
+    assert _rows(got) == _rows(
+        scan(spark, ds, columns=["path"], filters=[("lang", "==", "py")])
+    )
+
+
+def test_file_map_sidecar_lifecycle(spark, tmp_path):
+    """write_encoded maintains the chunk->file sidecar incrementally;
+    ensure_file_map is idempotent and the completeness marker tracks
+    the committed part-file set."""
+    from colcrush.engine import ensure_file_map
+    from colcrush.engine.dataset import (
+        _committed_part_files,
+        file_map_matches,
+        read_file_map,
+    )
+
+    ds = str(tmp_path / "ds")
+    write_encoded(
+        source_code_df(spark, 300, n_repos=5), ds,
+        mode="overwrite", group_cols=["lang"],
+    )
+    parts = _committed_part_files(ds)
+    assert file_map_matches(ds, [r for r, _, _ in parts])
+    assert ensure_file_map(spark, ds) == 0  # idempotent no-op
+    # every part file is mapped, and every manifest chunk id appears
+    mapped_files = {
+        r["file"] for r in read_file_map(spark, ds).select("file").distinct().collect()
+    }
+    assert mapped_files == {r for r, _, _ in parts}
+    # append maps only the delta
+    write_encoded(
+        source_code_df(spark, 150, n_repos=5).withColumn(
+            "commit", F.concat(F.lit("y"), "commit")
+        ),
+        ds, mode="append", group_cols=["lang"],
+    )
+    parts2 = _committed_part_files(ds)
+    assert len(parts2) > len(parts)
+    assert file_map_matches(ds, [r for r, _, _ in parts2])
+
+
+def test_colocated_scan_matches_default_and_prunes_files(spark, tmp_path):
+    """File-pruned colocated scan: same rows as the default plan for a
+    selective filter AND a single-row point lookup; no chunk_id
+    exchange in the pruned plan."""
+    from colcrush.engine import scan
+
+    ds = str(tmp_path / "ds")
+    src = source_code_df(spark, 500, n_repos=8)
+    write_encoded(src, ds, mode="overwrite", group_cols=["repo", "lang"])
+    row = src.first()
+    group_f = [("repo", "==", row["repo"]), ("lang", "==", row["lang"])]
+    point_f = [("path", "==", row["path"])]
+    for filters in (group_f, point_f):
+        a = _rows(scan(spark, ds, columns=["path", "content"], filters=filters))
+        b_df = scan(
+            spark, ds, columns=["path", "content"], filters=filters,
+            colocated=True,
+        )
+        assert _rows(b_df) == a and len(a) > 0
+        plan = b_df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(chunk_id" not in plan
+    # a filter surviving nothing returns empty, both paths
+    assert scan(
+        spark, ds, filters=[("lang", "==", "no-such-lang")], colocated=True
+    ).count() == 0
+
+
+def test_colocated_scan_falls_back_safely(spark, tmp_path):
+    """Stale/missing sidecar marker or an over-cap surviving-file set
+    must fall back to the default plan, never return wrong rows."""
+    from colcrush.engine import scan
+    from colcrush.engine.dataset import FILE_MAP_DIR, _FILE_MAP_MARKER
+
+    ds = str(tmp_path / "ds")
+    src = source_code_df(spark, 300, n_repos=5)
+    write_encoded(src, ds, mode="overwrite", group_cols=["lang"])
+    row = src.first()
+    filters = [("lang", "==", row["lang"])]
+    want = _rows(scan(spark, ds, columns=["path"], filters=filters))
+    # cap forces the fallback even with a healthy sidecar
+    capped = scan(
+        spark, ds, columns=["path"], filters=filters,
+        colocated=True, max_pruned_files=0,
+    )
+    assert _rows(capped) == want
+    assert "Exchange hashpartitioning(chunk_id" in (
+        capped._jdf.queryExecution().executedPlan().toString()
+    )
+    # stale marker: fallback, still correct
+    os.remove(os.path.join(ds, FILE_MAP_DIR, _FILE_MAP_MARKER))
+    assert _rows(
+        scan(spark, ds, columns=["path"], filters=filters, colocated=True)
+    ) == want
 
 
 def test_read_chunks_colocated_standalone(spark, tmp_path):
