@@ -269,6 +269,12 @@ def ensure_file_map(spark: SparkSession, path: str) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if not fsio.pyarrow_openable(path):
+        # JVM-only scheme (hdfs://, viewfs://): the map-building worker
+        # has no pyarrow handle for these, and neither would the
+        # file-pruned scan that consumes the map — no-op, scans fall
+        # back to the default plan (no marker is ever written)
+        return 0
     files = _committed_part_files(path)
     fm_dir = fsio.join(path, FILE_MAP_DIR)
     fdf = spark.createDataFrame(
@@ -615,7 +621,12 @@ def fused_decode(
     """The fused (reader + decoder, one mapInArrow stage) plan over a
     persisted dataset, or None when there are no part files. ``files``
     restricts the read to an explicit (full_path, size) subset — the
-    file-pruned scan path. See read_decoded for the measured trade."""
+    file-pruned scan path. See read_decoded for the measured trade.
+    None also for JVM-only schemes (hdfs://, viewfs://) — the worker
+    has no pyarrow handle there; callers fall back to the default
+    Spark-scan plan."""
+    if not fsio.pyarrow_openable(path):
+        return None
     fdf = _colocated_file_df(spark, path, files=files)
     if fdf is None:
         return None

@@ -173,6 +173,14 @@ def list_files(path: str) -> list[tuple[str, int]]:
     ]
 
 
+def pyarrow_openable(path: str) -> bool:
+    """True when open_input_file can produce a handle for this path
+    scheme (local, file:, s3://) — colocated readers and the file-map
+    builder gate on this and leave JVM-only schemes (hdfs://,
+    viewfs://) to the default Spark read path."""
+    return not has_scheme(path) or path.startswith("file:") or _is_s3(path)
+
+
 def open_input_file(path: str):
     """A pyarrow-readable binary input for a chunk part file. Local and
     s3:// paths open natively in Python workers; JVM-only schemes
