@@ -409,7 +409,10 @@ def _chunk_file_batches(files, requested: "list[str] | None"):
         pf = pq.ParquetFile(fsio.open_input_file(f))
         present = set(pf.schema_arrow.names)
         cols = [c for c in target.names if c in present]
-        for rb in pf.iter_batches(columns=cols, batch_size=256):
+        # 64 rows/batch bounds worker memory: a chunk-COLUMN payload can
+        # approach target_chunk_bytes (8 MB default), so 64 rows caps a
+        # batch at ~512 MB worst-case and ~1 MB at typical ratios
+        for rb in pf.iter_batches(columns=cols, batch_size=64):
             if want_set is not None:
                 rb = rb.filter(
                     pc.is_in(rb.column("column"), value_set=want_set)
