@@ -366,22 +366,29 @@ def _colocated_file_df(
     Spark's own file-source listing. ``files`` overrides the listing
     with an explicit (full_path, size) subset — the file-pruned scan
     path passes only the files containing surviving chunks."""
+    import heapq
+
     if files is None:
         files = [(f, s) for _, f, s in _committed_part_files(path)]
     if not files:
         return None
     n_bins = min(len(files), spark.sparkContext.defaultParallelism)
-    loads = [0] * n_bins
+    # largest-first into the least-loaded bin via a heap — O(n log b),
+    # driver-tractable at the ~3M-file target; (load, bin) ordering +
+    # file-path tiebreak keep the assignment deterministic
+    heap = [(0, b) for b in range(n_bins)]
     binned: list[tuple[int, str]] = []
-    # largest-first into the least-loaded bin; file-path tiebreak keeps
-    # the assignment deterministic
     for f, size in sorted(files, key=lambda t: (-t[1], t[0])):
-        b = loads.index(min(loads))
-        loads[b] += size
+        load, b = heapq.heappop(heap)
+        heapq.heappush(heap, (load + size, b))
         binned.append((b, f))
-    return spark.createDataFrame(binned, "bin int, file string").repartition(
-        n_bins, "bin"
-    )
+    # range-partition on bin: hash partitioning collides bin keys (e.g.
+    # murmur3 sends 8 keys into 5 of 8 partitions), stacking several
+    # size-balanced bins in one task and idling others — range gives
+    # one bin per task, which is the whole point of the balancing
+    return spark.createDataFrame(
+        binned, "bin int, file string"
+    ).repartitionByRange(n_bins, "bin")
 
 
 def _chunk_file_batches(files, requested: "list[str] | None"):

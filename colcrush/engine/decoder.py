@@ -142,13 +142,13 @@ def decode_prepare(
     measured decode-worker costs are the REAL worker over the REAL
     pruned stream, mirroring encoder.encode_prepare.
     """
+    with_ck = verify_checksums and "payload_ck" in chunks.columns
     columns, out_schema, fn = decode_worker(
         schema,
         columns=columns,
         decimal_formats=decimal_formats,
-        with_ck=verify_checksums and "payload_ck" in chunks.columns,
+        with_ck=with_ck,
     )
-    with_ck = verify_checksums and "payload_ck" in chunks.columns
     pruned = chunks.where(chunks["column"].isin(columns)).select(
         "chunk_id", "column", "payload",
         *(["payload_ck"] if with_ck else []),

@@ -149,6 +149,16 @@ spark.stop()
     return _run(code, cpus=cpus)
 
 
+def _replace_section(text: str, header: str, new_md: str) -> str:
+    """Remove the BASELINE.md section whose '## ' header starts with
+    ``header`` (up to the next section or EOF) and append ``new_md`` —
+    each campaign mode replaces ONLY its own section, so a standard
+    rerun can no longer silently delete the projected-only evidence
+    that happened to sit after it (r8 review finding)."""
+    pat = re.compile(r"\n## " + re.escape(header) + r".*?(?=\n## |\Z)", re.S)
+    return pat.sub("", text) + new_md
+
+
 def _median(xs):
     xs = sorted(xs)
     m = len(xs) // 2
@@ -190,7 +200,7 @@ def _report_projected_only(
 ## Projected-decode scaling at meaningful walls (r7 verdict #3)
 
 The standard campaign's projected walls at 4N were only ~1.3-1.9 s,
-where a fixed per-job cost (~0.35-0.5 s) is ~25%% of the wall — too
+where a fixed per-job cost (~0.35-0.5 s) is ~25% of the wall — too
 small to attribute a sub-0.8 ratio. This campaign sizes the SAME
 projected (2-of-5-column) workload at {rows:,} rows
 ({raw_bytes/1e9:.2f} GB raw) so 4N walls are meaningful:
@@ -216,9 +226,12 @@ Projected pairs: {[p["proj"] for p in pairs]}; work pairs:
     if os.path.exists(base):
         with open(base) as f:
             text = f.read()
-        text = re.split(r"\n## Projected-decode scaling at meaningful walls", text)[0]
     with open(base, "w") as f:
-        f.write(text + md)
+        f.write(
+            _replace_section(
+                text, "Projected-decode scaling at meaningful walls", md
+            )
+        )
 
 
 def main():
@@ -326,9 +339,8 @@ Full-decode pairs: {[p["full"] for p in pairs]}; projected pairs:
         if os.path.exists(base):
             with open(base) as f:
                 text = f.read()
-            text = re.split(r"\n## Decode-path scaling", text)[0]
         with open(base, "w") as f:
-            f.write(text + md)
+            f.write(_replace_section(text, "Decode-path scaling", md))
     finally:
         if tmp is not None:
             shutil.rmtree(tmp, ignore_errors=True)
