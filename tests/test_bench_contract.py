@@ -105,6 +105,40 @@ def test_headline_required_keys_alone_over_budget_degrades_queries():
     assert parsed["queries"] == {"n_queries": 200}
 
 
+def test_decode_scaling_section_replacement_preserves_other_sections():
+    """A standard decode campaign rerun must not delete the
+    projected-only evidence section that sits after it in BASELINE.md
+    (r8 review finding), and vice versa."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "decode_scaling",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "decode_scaling.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    text = (
+        "# head\n\n## GATE\ngate body\n"
+        "\n## Decode-path scaling (same protocol)\nold decode\n"
+        "\n## Projected-decode scaling at meaningful walls (r7)\nprojected body\n"
+    )
+    out = m._replace_section(
+        text, "Decode-path scaling", "\n## Decode-path scaling NEW\nnew decode\n"
+    )
+    assert "old decode" not in out
+    for kept in ("gate body", "projected body", "new decode"):
+        assert kept in out
+    out2 = m._replace_section(
+        out,
+        "Projected-decode scaling at meaningful walls",
+        "\n## Projected-decode scaling at meaningful walls NEW\nnew proj\n",
+    )
+    assert "projected body" not in out2
+    for kept in ("gate body", "new decode", "new proj"):
+        assert kept in out2
+
+
 def test_campaign_scaling_reads_latest_history():
     out = bench._campaign_scaling()
     # repo history files exist from the r6 campaigns; the keys must map
