@@ -68,6 +68,27 @@ _STAT_TRUNC = 64
 # mapInArrow per-task overhead, small enough for scheduler rebalancing)
 TARGET_PARTITION_BYTES = 32 << 20
 
+# low-end clamp for the same sizing: a python mapInArrow task costs
+# ~0.2 CPU-s of fixed setup (SCALE.md full-vs-noop decomposition), so
+# the old "floor at the core count" spawned pure overhead on small
+# inputs — 32 tasks of 1.5 MB measured ~2x the CPU of 6 tasks of 8 MB
+# on the 48 MB lineitem roundtrip, with byte-identical output (chunk
+# cuts are partition-count-independent by design). Parallelism is now
+# min(cores, bytes / MIN_TASK_BYTES): large inputs still get one task
+# per ~TARGET_PARTITION_BYTES, tiny ones never pay for idle workers.
+MIN_TASK_BYTES = 8 << 20
+
+
+def _salted_partitions(total_bytes: int, cores: int) -> int:
+    """Scale-adaptive partition count for the salted encode shuffle:
+    bytes-derived at both ends (guide-style: derive from input size,
+    never a constant tuned to one deployment width)."""
+    return max(
+        1,
+        min(cores, -(-total_bytes // MIN_TASK_BYTES)),
+        -(-total_bytes // TARGET_PARTITION_BYTES),
+    )
+
 
 def _stat_str(v) -> str | None:
     """Lower bound: plain truncation keeps min_s <= actual min."""
@@ -658,8 +679,9 @@ def encode_prepare(
     sort_cols = list(sort_cols or [c for c in df.columns if c not in group_cols])
     spark = df.sparkSession
     # Partition sizing is BYTES-based (salted-group path): one
-    # partition per ~TARGET_PARTITION_BYTES of input, floored at the
-    # core count so every core gets work. The round-2 "4x cores"
+    # partition per ~TARGET_PARTITION_BYTES of input, with parallelism
+    # capped at min(cores, bytes / MIN_TASK_BYTES) — a task below
+    # ~8 MB is pure mapInArrow setup overhead. The round-2 "4x cores"
     # multiplier sized partitions by CLUSTER WIDTH, which backfired at
     # high core counts on modest inputs — 128 partitions of 2.9 MB at
     # local[32] measured 2.4x the CPU and 2.5x the wall of 32x12 MB
@@ -703,16 +725,12 @@ def encode_prepare(
                     total_bytes = int(
                         salts.agg(F.sum("_grp_bytes")).collect()[0][0] or 0
                     )
-                    num_partitions = max(
-                        cores, -(-total_bytes // TARGET_PARTITION_BYTES)
-                    )
+                    num_partitions = _salted_partitions(total_bytes, cores)
             elif num_partitions is None:
                 salts, total_bytes = plan_salts(
                     df, group_cols, target_group_bytes, with_total=True
                 )
-                num_partitions = max(
-                    cores, -(-total_bytes // TARGET_PARTITION_BYTES)
-                )
+                num_partitions = _salted_partitions(total_bytes, cores)
             else:
                 salts = plan_salts(df, group_cols, target_group_bytes)
             df = df.join(

@@ -231,6 +231,14 @@ def minhash_dedup_pairs(
     return joined.select("a", "b", est).where(F.col("jaccard") >= threshold)
 
 
+# 16-bit-lane mask for the packed SimHash vote counters: one masked
+# sum of (h >>> k) & MASK accumulates the one-counts of bit positions
+# k, k+16, k+32, k+48 in four independent 16-bit lanes of a single
+# long. Lanes saturate only past 65535 tokens per (doc, aggregate) —
+# see the overflow note in simhash_signatures.
+_SIMHASH_LANE_MASK = 0x0001000100010001
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, hash: str = "xxhash64"
 ) -> DataFrame:
@@ -238,15 +246,26 @@ def simhash_signatures(
 
     Per-token 64-bit hash: ``hash='xxhash64'`` (default — one native
     JVM hash per token, the right cost at 100 TB) or ``'md5'`` (the
-    first 16 hex chars of md5(token) as four 16-bit words — DuckDB
-    prints identical md5 hex, so the driver oracle recomputes the
-    signature bit-for-bit; signatures DIFFER between modes, the
-    near-dup pair structure is equivalent, pinned by test). Tokens
-    explode once; each of the 64 bit votes is one conditional-sum
-    aggregate, so the whole signature is whole-stage-codegen'd with
-    map-side partial aggregation — no Python in the path (the round-1
-    pandas_udf ran per-token Python md5, the exact anti-pattern the
-    mandate bans)."""
+    first 16 hex chars of md5(token), packed low-word-first into one
+    long — DuckDB prints identical md5 hex, so the driver oracle
+    recomputes the signature bit-for-bit; signatures DIFFER between
+    modes, the near-dup pair structure is equivalent, pinned by test).
+
+    Vote counting is PACKED (r9): instead of 64 per-bit ±1 sums, 16
+    masked sums count 4 bit positions each in 16-bit lanes of one long
+    ((h >>> k) & 0x0001000100010001 for k in 0..15) — a 4x cut of the
+    per-token aggregate work, measured value-identical on both hash
+    modes (sign(2*count_j - n) == sign(sum of ±1 votes) exactly, and
+    the bit-j -> (lane j//16, shift j%16) layout reproduces the old
+    word order). Tokens explode once; everything is whole-stage-
+    codegen'd with map-side partial aggregation — no Python anywhere.
+
+    Overflow bound: a 16-bit lane saturates at 65535 tokens per doc.
+    Docs beyond that cap would corrupt lane counts, so such rows are
+    counted and the aggregation REFUSES (raises) rather than silently
+    mis-signing — at 100 TB, pre-chunk such documents (or SimHash the
+    chunks) instead; the previous unpacked form merely degraded to a
+    near-meaningless majority over >65k tokens anyway."""
     inv = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
@@ -254,38 +273,47 @@ def simhash_signatures(
     if hash == "md5":
         inv = inv.withColumn("_md5", F.md5("_tok"))
         words = [
-            F.conv(F.substring("_md5", 4 * k + 1, 4), 16, 10)
-            .cast("int")
-            .alias(f"_w{k}")
+            F.conv(F.substring("_md5", 4 * k + 1, 4), 16, 10).cast("long")
             for k in range(4)
         ]
+        h = words[0]
+        for k in range(1, 4):
+            h = h.bitwiseOR(F.shiftleft(words[k], 16 * k))
+        inv = inv.select(id_col, h.alias("_h"))
     elif hash == "xxhash64":
-        inv = inv.withColumn("_h", F.xxhash64("_tok"))
-        words = [
-            F.shiftrightunsigned(F.col("_h"), 16 * k)
-            .bitwiseAND(F.lit(0xFFFF))
-            .cast("int")
-            .alias(f"_w{k}")
-            for k in range(4)
-        ]
+        inv = inv.select(id_col, F.xxhash64("_tok").alias("_h"))
     else:
         raise ValueError(f"hash must be 'xxhash64' or 'md5', got {hash!r}")
-    inv = inv.select(id_col, *words)
-    votes = [
+    sums = [
         F.sum(
-            F.shiftright(F.col(f"_w{j // 16}"), j % 16).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"_v{j}")
-        for j in range(64)
+            F.shiftrightunsigned(F.col("_h"), k).bitwiseAND(
+                F.lit(_SIMHASH_LANE_MASK)
+            )
+        ).alias(f"_s{k}")
+        for k in range(16)
     ]
-    grouped = inv.groupBy(id_col).agg(*votes)
+    grouped = inv.groupBy(id_col).agg(*sums, F.count(F.lit(1)).alias("_n"))
     sh = None
     for j in range(64):
-        bit = F.when(F.col(f"_v{j}") > 0, F.lit(1).cast("long")).otherwise(
+        k, lane = j % 16, j // 16
+        cnt = F.shiftrightunsigned(F.col(f"_s{k}"), 16 * lane).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        bit = F.when(cnt * 2 > F.col("_n"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         term = F.shiftleft(bit, j)
         sh = term if sh is None else sh.bitwiseOR(term)
-    return grouped.select(F.col(id_col), sh.alias("simhash"))
+    # lane-overflow guard: assert_true is free on the sane path and
+    # fails loudly (not wrongly) on a >65535-token document
+    guard = F.assert_true(
+        F.col("_n") < F.lit(65536),
+        F.lit("simhash_signatures: document exceeds 65535 tokens — "
+              "packed 16-bit vote lanes would overflow; chunk the text"),
+    )
+    return grouped.select(
+        F.col(id_col), F.when(guard.isNull(), sh).alias("simhash")
+    )
 
 
 def simhash_dedup_pairs(

@@ -67,9 +67,13 @@ def test_colocated_matches_default_full_and_projected(spark, tmp_path):
 
 def test_colocated_plan_has_no_payload_exchange(spark, tmp_path):
     ds = str(tmp_path / "ds")
+    # explicit num_partitions: the r9 bytes-justified default would
+    # right-size this tiny input to ONE part file, collapsing the bin
+    # exchange to SinglePartition — this test pins the MULTI-file plan
+    # shape (range exchange on bin), so force a multi-file write
     write_encoded(
         source_code_df(spark, 200, n_repos=4), ds,
-        mode="overwrite", group_cols=["lang"],
+        mode="overwrite", group_cols=["lang"], num_partitions=4,
     )
     plan = (
         read_decoded(spark, ds, colocated=True)

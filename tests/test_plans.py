@@ -66,12 +66,23 @@ def test_encode_single_shuffle(spark):
     once in the bytes-based partition-sizing job and is persist()ed;
     its cached subtree still PRINTS inside the broadcast build side
     (InMemoryTableScan), but reads blocks, not data."""
+
+    def data_exchanges(plan: str) -> int:
+        # any shuffle of the data, whatever its partitioning prints as:
+        # hashpartitioning normally, SinglePartition when the r9
+        # bytes-justified sizing gives a tiny input one partition
+        return sum(
+            1
+            for ln in plan.splitlines()
+            if "Exchange" in ln and "BroadcastExchange" not in ln
+        )
+
     df = spark.read.parquet(f"{SF}/documents.parquet")
     p0 = (
         encode_table(df, group_cols=["lang"], salted=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert p0.count("Exchange hashpartitioning") == 1, p0[:2000]
+    assert data_exchanges(p0) == 1, p0[:2000]
 
     p1 = (
         encode_table(df, group_cols=["lang"])
@@ -80,7 +91,7 @@ def test_encode_single_shuffle(spark):
     # probe side (everything before the broadcast build) = the data
     # path: exactly one exchange moves the data
     data_side = p1.split("BroadcastExchange")[0]
-    assert data_side.count("Exchange hashpartitioning") == 1, p1[:2000]
+    assert data_exchanges(data_side) == 1, p1[:2000]
     assert "BroadcastExchange" in p1  # salt plan joins via broadcast
     assert "InMemoryTableScan" in p1  # histogram computed once, cached
 
