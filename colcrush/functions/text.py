@@ -123,22 +123,47 @@ def winnow_fingerprints(
     ``hash``: 'xxhash64' (default — one JVM hash per k-gram, the right
     cost at 100 TB) or 'md5' (DuckDB-recomputable; what the driver
     oracle runs). Fingerprint VALUES differ between modes; the derived
-    near-dup structure is equivalent (pinned by test)."""
+    near-dup structure is equivalent (pinned by test).
+
+    The window min is computed by SPARSE-TABLE DOUBLING (r9): with
+    m_d[i] = min(h[i..i+d-1]), each round zips m with its d-shifted
+    self (m_2d[i] = least(m_d[i], m_d[i+d])), so the width-w window
+    mins cost ceil(log2(w)) O(n) zip_with passes instead of one O(w)
+    slice + array_min per window. Higher-order functions are
+    interpreted (never codegen'd), so the O(n*w) -> O(n*log w) cut is
+    a measured ~3x CPU drop on the bench corpus, value-identical on
+    both hash modes. Each round's input is bound once via the
+    1-element-array transform scope — referencing a growing expression
+    directly would re-evaluate the whole gram-hash chain per round
+    (the O(n^2) rebind trap; measured 98s vs 0.3s on 500 docs).
+    zip_with null-pads the shorter side, so the tail entries hold
+    PARTIAL-window mins until the final slice truncates to the
+    n-w+1 full windows."""
     n_g = F.length(col) - (k - 1)
     grams_h = F.transform(
         F.sequence(F.lit(1), n_g),
         lambda p: _gram_hash(F.substr(col, p, F.lit(k)), hash),
     )
 
-    # bind the hash array ONCE via a 1-element-array transform scope:
-    # referencing grams_h directly inside the window lambda would make
-    # Catalyst re-evaluate every md5 for every window (O(n^2) blowup —
-    # measured 98s vs 0.3s on 500 docs)
+    def _round(d: int):
+        return lambda mm: F.zip_with(
+            mm,
+            F.slice(mm, d + 1, F.greatest(F.size(mm) - d, F.lit(0))),
+            lambda x, y: F.least(x, y),
+        )
+
     def _mins(hs: F.Column) -> F.Column:
+        m = hs
+        d = 1
+        while d * 2 <= w:
+            m = F.element_at(F.transform(F.array(m), _round(d)), 1)
+            d *= 2
+        if d < w:
+            m = F.element_at(F.transform(F.array(m), _round(w - d)), 1)
+        full = F.slice(m, 1, F.size(hs) - (w - 1))
         return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),
-                lambda s: F.array_min(F.slice(hs, s, w)),
+            F.when(F.size(hs) >= w, full).otherwise(
+                F.array(F.array_min(hs))
             )
         )
 

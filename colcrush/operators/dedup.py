@@ -190,7 +190,7 @@ def minhash_dedup_pairs(
     sets = df.select(
         F.col(id_col),
         _shingle_hashes(text_col, shingle_n).alias("_hs"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     inv = sets.select(F.col(id_col), F.explode("_hs").alias("_tok"))
     aggs = [
         F.min(F.hash(F.col("_tok"), F.lit(i))).alias(f"_h{i}")
@@ -203,7 +203,7 @@ def minhash_dedup_pairs(
             F.col(id_col),
             F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cands = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band)
     if exact_verify:
@@ -337,7 +337,9 @@ def simhash_dedup_pairs(
     agreeing segment lives in an over-cap bucket is missed. Pairs keep
     exact hamming distances either way (the verify step is unchanged),
     so the cap only costs recall, never precision."""
-    sigs = simhash_signatures(df, id_col, text_col, hash=hash).localCheckpoint()
+    sigs = simhash_signatures(df, id_col, text_col, hash=hash).localCheckpoint(
+        eager=False
+    )
     seg_keys = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), seg * 16).bitwiseAND(F.lit(0xFFFF))
@@ -405,7 +407,7 @@ def ngram_jaccard_pairs(
             _shingle_hashes(text_col, n).alias("_hs"),
         )
         .withColumn("_sz", F.size("_hs"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     inv = base.select(
         "_id", *(["_blk"] if block_col else []), F.explode("_hs").alias("_tok")
@@ -470,7 +472,7 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         buckets(F.col(vec_col)).alias("_bkts"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     exploded = base.select("_id", F.posexplode("_bkts").alias("_band", "_bkt"))
     l, r = exploded.alias("l"), exploded.alias("r")
     cands = (

@@ -39,10 +39,24 @@ def get_spark(
     # RAM-backed shuffle dirs when available: local-mode shuffles
     # otherwise serialize through one disk and cap scaling (on a real
     # cluster every executor brings its own shuffle disks)
-    if os.path.isdir("/dev/shm"):
+    shm = os.path.isdir("/dev/shm")
+    if shm:
         shuffle_dir = "/dev/shm/colcrush-spark-local"
         os.makedirs(shuffle_dir, exist_ok=True)
         b = b.config("spark.local.dir", shuffle_dir)
+    # Shuffle compression is parameterised (COLCRUSH_SHUFFLE_COMPRESS=
+    # 1/0/auto): compressing blocks headed to a RAM-backed local dir is
+    # pure CPU — no disk or network exists for the smaller bytes to
+    # help — so "auto" (default) turns it off exactly when the
+    # RAM-backed dir above is in use. A cluster deployment configures
+    # executors via spark-submit, not this local-mode factory, and
+    # keeps Spark's default (on): there shuffle bytes cross real disks
+    # and NICs, where compression earns its CPU.
+    comp_env = os.environ.get("COLCRUSH_SHUFFLE_COMPRESS", "auto")
+    comp_on = (not shm) if comp_env == "auto" else comp_env == "1"
+    b = b.config("spark.shuffle.compress", str(comp_on).lower()).config(
+        "spark.shuffle.spill.compress", str(comp_on).lower()
+    )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
