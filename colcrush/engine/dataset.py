@@ -64,6 +64,7 @@ def write_encoded(
     df: DataFrame,
     path: str,
     mode: str = "error",
+    file_map: bool = True,
     **encode_kwargs,
 ) -> None:
     """Encode ``df`` and persist chunks + manifest at ``path``.
@@ -71,6 +72,13 @@ def write_encoded(
     mode: 'error' (CREATE semantics, like parquet4s Mode.CREATE —
     /root/reference/core/src/main/scala/com/github/mjakubowski84/parquet4s/IOOps.scala:37-56),
     'overwrite', or 'append'.
+
+    ``file_map=False`` skips the chunk->file sidecar build (a Spark job
+    reading every new part file's chunk_id column). Streaming epoch
+    sub-datasets pass False: per-epoch sidecars have NO reader —
+    root-level scans need a root map, and compaction deletes epoch
+    dirs and rebuilds the map anyway — so building one per micro-batch
+    was pure per-epoch latency.
     """
     if mode not in ("error", "overwrite", "append"):
         # an unrecognized mode must fail loudly: it would otherwise
@@ -136,7 +144,8 @@ def write_encoded(
         # this point just leaves the marker stale and scans fall back.
         if write_mode == "overwrite":
             fsio.rmtree(fsio.join(path, FILE_MAP_DIR))
-        ensure_file_map(df.sparkSession, path)
+        if file_map:
+            ensure_file_map(df.sparkSession, path)
     finally:
         if encoded is not None:
             encoded.unpersist()
@@ -296,12 +305,15 @@ def ensure_file_map(spark: SparkSession, path: str) -> int:
                 rels = batch.column("file").to_pylist()
                 fulls = batch.column("full").to_pylist()
                 for rel, full in zip(rels, fulls):
-                    pf = pq.ParquetFile(fsio.open_input_file(full))
-                    ids: set = set()
-                    for rb in pf.iter_batches(
-                        columns=["chunk_id"], batch_size=8192
-                    ):
-                        ids.update(rb.column("chunk_id").to_pylist())
+                    # close each file as soon as its ids are read — a
+                    # task mapping many s3:// files would otherwise
+                    # hold every NativeFile's buffers until GC
+                    with pq.ParquetFile(fsio.open_input_file(full)) as pf:
+                        ids: set = set()
+                        for rb in pf.iter_batches(
+                            columns=["chunk_id"], batch_size=8192
+                        ):
+                            ids.update(rb.column("chunk_id").to_pylist())
                     ids = sorted(ids)
                     yield pa.record_batch(
                         [
@@ -413,26 +425,29 @@ def _chunk_file_batches(files, requested: "list[str] | None"):
         ]
     )
     for f in files:
-        pf = pq.ParquetFile(fsio.open_input_file(f))
-        present = set(pf.schema_arrow.names)
-        cols = [c for c in target.names if c in present]
-        # 64 rows/batch bounds worker memory: a chunk-COLUMN payload can
-        # approach target_chunk_bytes (8 MB default), so 64 rows caps a
-        # batch at ~512 MB worst-case and ~1 MB at typical ratios
-        for rb in pf.iter_batches(columns=cols, batch_size=64):
-            if want_set is not None:
-                rb = rb.filter(
-                    pc.is_in(rb.column("column"), value_set=want_set)
-                )
-            if rb.num_rows == 0:
-                continue
-            arrays = []
-            for field in target:
-                if field.name in present:
-                    arrays.append(rb.column(field.name).cast(field.type))
-                else:
-                    arrays.append(pa.nulls(rb.num_rows, field.type))
-            yield pa.record_batch(arrays, schema=target)
+        # context-close per file: a long fused-decode task iterating
+        # many part files must not hold all handles/buffers until GC
+        with pq.ParquetFile(fsio.open_input_file(f)) as pf:
+            present = set(pf.schema_arrow.names)
+            cols = [c for c in target.names if c in present]
+            # 64 rows/batch bounds worker memory: a chunk-COLUMN payload
+            # can approach target_chunk_bytes (8 MB default), so 64 rows
+            # caps a batch at ~512 MB worst-case and ~1 MB at typical
+            # ratios
+            for rb in pf.iter_batches(columns=cols, batch_size=64):
+                if want_set is not None:
+                    rb = rb.filter(
+                        pc.is_in(rb.column("column"), value_set=want_set)
+                    )
+                if rb.num_rows == 0:
+                    continue
+                arrays = []
+                for field in target:
+                    if field.name in present:
+                        arrays.append(rb.column(field.name).cast(field.type))
+                    else:
+                        arrays.append(pa.nulls(rb.num_rows, field.type))
+                yield pa.record_batch(arrays, schema=target)
 
 
 def read_chunks_colocated(

@@ -556,11 +556,22 @@ def dup_clusters(
             "reliable mode exists precisely to survive that)"
         )
 
+    # sc._jsc.getPersistentRDDs() is a pyspark-internal API (it has
+    # moved across Spark majors before): guard every access so an API
+    # change degrades to SKIPPING explicit unpersist — Spark's
+    # reference-tracking ContextCleaner still reclaims the blocks via
+    # GC — instead of raising mid-fixpoint and failing the clustering.
     def _pinned_ids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        try:
+            return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        except Exception:  # AttributeError or py4j — not uniform
+            return set()
 
     def _release(ids: set) -> None:
-        jmap = sc._jsc.getPersistentRDDs()
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+        except Exception:
+            return
         for rid in ids:
             rdd = jmap.get(rid)
             if rdd is not None:

@@ -74,15 +74,30 @@ def record_filter(df: DataFrame, lo: int, hi: int, order_col: str) -> DataFrame:
     broadcast-joined offset. Partitions whose offset range can't
     intersect [lo, hi) are pruned by the inner join before the table
     window runs, so at 100 TB only the partitions containing the
-    requested slice do work. Both branches share the same range
-    exchange, which Spark reuses (one scan + one range shuffle total).
+    requested slice do work.
+
+    The range-partitioned table is MATERIALIZED once (lazy
+    localCheckpoint, pinned by the counts pass) before the two
+    branches read it: the counts branch and the final window branch
+    otherwise plan two INDEPENDENT range exchanges (column pruning
+    makes them non-identical, so no ReusedExchange), and each range
+    exchange samples its boundaries with its own RDD-id-derived seed —
+    once partitions outgrow the sampler's per-partition sample size
+    the two evaluations can assign DIFFERENT _pids, silently
+    corrupting ordinals. Materializing fixes the _pid assignment (and
+    saves the second scan + range shuffle as a side effect). The
+    pinned copy is partition-block storage on the executors —
+    memory-then-disk, the standard cost of any consistent two-pass
+    algorithm over a shuffled intermediate.
     """
     from pyspark.sql import Window
 
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n_part, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(n_part, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # window input is the counts DF (<= n_part rows): partitioning on a

@@ -279,3 +279,25 @@ def test_read_chunks_colocated_standalone(spark, tmp_path):
     chunks = read_chunks_colocated(spark, ds)
     got = decode_table(chunks, read_schema(ds), assume_colocated=True)
     assert _rows(got) == _rows(read_decoded(spark, ds))
+
+
+def test_write_encoded_file_map_optout(spark, tmp_path):
+    """file_map=False (the streaming-epoch setting) must skip the
+    sidecar build entirely — per-epoch maps have no reader — while the
+    dataset itself stays fully readable and a later explicit
+    ensure_file_map builds the map on demand."""
+    import os
+
+    from colcrush.engine import ensure_file_map
+    from colcrush.engine.dataset import FILE_MAP_DIR, _committed_part_files, file_map_matches
+
+    ds = str(tmp_path / "ds")
+    write_encoded(
+        source_code_df(spark, 200, n_repos=4), ds,
+        mode="overwrite", group_cols=["lang"], file_map=False,
+    )
+    assert not os.path.exists(os.path.join(ds, FILE_MAP_DIR))
+    assert read_decoded(spark, ds).count() == 200
+    # on-demand build still works and covers the full part-file set
+    assert ensure_file_map(spark, ds) > 0
+    assert file_map_matches(ds, [r for r, _, _ in _committed_part_files(ds)])

@@ -649,3 +649,29 @@ def test_dup_clusters_long_chain_converges_logarithmically(spark):
     assert len(rows) == n
     assert {r["doc_id"] for r in rows} == set(range(n))
     assert all(r["cluster"] == 0 for r in rows)
+
+
+def test_dup_clusters_survives_missing_rdd_registry(spark, monkeypatch):
+    """The explicit unpersist path uses the pyspark-internal
+    sc._jsc.getPersistentRDDs(); if that API moves, clustering must
+    degrade to skipping explicit unpersist (Spark's own cleaner still
+    reclaims), never raise mid-fixpoint."""
+    from colcrush.operators.dedup import dup_clusters
+
+    class _NoRegistry:
+        def __getattr__(self, name):
+            if name == "getPersistentRDDs":
+                raise AttributeError(name)
+            return getattr(self._real, name)
+
+    real = spark.sparkContext._jsc
+    proxy = _NoRegistry()
+    proxy._real = real
+    monkeypatch.setattr(spark.sparkContext, "_jsc", proxy)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster"] for r in dup_clusters(pairs, "a", "b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
