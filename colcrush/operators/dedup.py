@@ -260,12 +260,17 @@ def simhash_signatures(
     word order). Tokens explode once; everything is whole-stage-
     codegen'd with map-side partial aggregation — no Python anywhere.
 
-    Overflow bound: a 16-bit lane saturates at 65535 tokens per doc.
-    Docs beyond that cap would corrupt lane counts, so such rows are
-    counted and the aggregation REFUSES (raises) rather than silently
-    mis-signing — at 100 TB, pre-chunk such documents (or SimHash the
-    chunks) instead; the previous unpacked form merely degraded to a
-    near-meaningless majority over >65k tokens anyway."""
+    Overflow bound: a 16-bit lane saturates at 65535 tokens per doc;
+    the assert_true below refuses such docs LOUDLY instead of silently
+    mis-signing. Additionally, for docs of >= 32768 tokens the packed
+    SUM itself can exceed signed-long range mid-aggregation (top lane
+    x 2^48), which under Spark's default ANSI mode raises an
+    arithmetic-overflow error before the guard is reached — a
+    different message, but still fail-loud; signatures that DO come
+    out are exact for every n <= 65535. At 100 TB, pre-chunk such
+    documents (or SimHash the chunks); the previous unpacked form
+    merely degraded to a near-meaningless majority over >65k tokens
+    anyway."""
     inv = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
