@@ -365,7 +365,15 @@ def simhash_dedup_pairs(
         )
         buckets = buckets.join(rare, on=["_seg", "_key"], how="left_semi")
     l, r = buckets.alias("l"), buckets.alias("r")
-    cands = (
+    # hamming filter BEFORE distinct (r9): both signatures ride the
+    # candidate row, so the exact popcount check costs one bit_count
+    # per candidate OCCURRENCE map-side and the distinct then shuffles
+    # only MATCHING pairs — at scale the dedup exchange carries the
+    # near-dup set, not every bucket collision (same result set:
+    # (a, b) determines the signatures, so the per-occurrence filter
+    # commutes with the distinct).
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming")
+    return (
         l.join(
             r,
             (F.col("l._seg") == F.col("r._seg"))
@@ -378,10 +386,10 @@ def simhash_dedup_pairs(
             F.col("l._sh").alias("_sa"),
             F.col("r._sh").alias("_sb"),
         )
+        .select("a", "b", ham)
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming")
-    return cands.select("a", "b", ham).where(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(
