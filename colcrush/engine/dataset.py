@@ -307,13 +307,21 @@ def ensure_file_map(spark: SparkSession, path: str) -> int:
                 for rel, full in zip(rels, fulls):
                     # close each file as soon as its ids are read — a
                     # task mapping many s3:// files would otherwise
-                    # hold every NativeFile's buffers until GC
-                    with pq.ParquetFile(fsio.open_input_file(full)) as pf:
+                    # hold every NativeFile's buffers until GC. NOTE
+                    # close(force=True): fsio.open_input_file returns a
+                    # plain path for local files (ParquetFile owns the
+                    # handle) but a NativeFile for s3://, and
+                    # ParquetFile.close() skips externally-opened
+                    # sources unless forced (verified on pyarrow 16).
+                    pf = pq.ParquetFile(fsio.open_input_file(full))
+                    try:
                         ids: set = set()
                         for rb in pf.iter_batches(
                             columns=["chunk_id"], batch_size=8192
                         ):
                             ids.update(rb.column("chunk_id").to_pylist())
+                    finally:
+                        pf.close(force=True)
                     ids = sorted(ids)
                     yield pa.record_batch(
                         [
@@ -425,9 +433,14 @@ def _chunk_file_batches(files, requested: "list[str] | None"):
         ]
     )
     for f in files:
-        # context-close per file: a long fused-decode task iterating
-        # many part files must not hold all handles/buffers until GC
-        with pq.ParquetFile(fsio.open_input_file(f)) as pf:
+        # close each file after its batches are consumed: a long
+        # fused-decode task iterating many part files must not hold
+        # all handles/buffers until GC. close(force=True) because
+        # fsio.open_input_file returns a plain path for local files
+        # but a NativeFile for s3://, and ParquetFile.close() skips
+        # externally-opened sources unless forced (pyarrow 16).
+        pf = pq.ParquetFile(fsio.open_input_file(f))
+        try:
             present = set(pf.schema_arrow.names)
             cols = [c for c in target.names if c in present]
             # 64 rows/batch bounds worker memory: a chunk-COLUMN payload
@@ -448,6 +461,8 @@ def _chunk_file_batches(files, requested: "list[str] | None"):
                     else:
                         arrays.append(pa.nulls(rb.num_rows, field.type))
                 yield pa.record_batch(arrays, schema=target)
+        finally:
+            pf.close(force=True)
 
 
 def read_chunks_colocated(

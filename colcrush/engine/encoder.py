@@ -85,7 +85,10 @@ def _salted_partitions(total_bytes: int, cores: int) -> int:
     never a constant tuned to one deployment width)."""
     return max(
         1,
-        min(cores, -(-total_bytes // MIN_TASK_BYTES)),
+        # FLOOR division: ceil would still emit tasks down to half the
+        # floor (9 MB -> two 4.5 MB tasks); the whole point is that no
+        # task falls below ~MIN_TASK_BYTES of input
+        min(cores, total_bytes // MIN_TASK_BYTES),
         -(-total_bytes // TARGET_PARTITION_BYTES),
     )
 

@@ -260,17 +260,15 @@ def simhash_signatures(
     word order). Tokens explode once; everything is whole-stage-
     codegen'd with map-side partial aggregation — no Python anywhere.
 
-    Overflow bound: a 16-bit lane saturates at 65535 tokens per doc;
-    the assert_true below refuses such docs LOUDLY instead of silently
-    mis-signing. Additionally, for docs of >= 32768 tokens the packed
-    SUM itself can exceed signed-long range mid-aggregation (top lane
-    x 2^48), which under Spark's default ANSI mode raises an
-    arithmetic-overflow error before the guard is reached — a
-    different message, but still fail-loud; signatures that DO come
-    out are exact for every n <= 65535. At 100 TB, pre-chunk such
-    documents (or SimHash the chunks); the previous unpacked form
-    merely degraded to a near-meaningless majority over >65k tokens
-    anyway."""
+    Overflow bound: documents of >= 32768 tokens are REFUSED loudly
+    (assert_true below). Past 2^15 tokens the top lane's accumulation
+    (count x 2^48) can no longer be proven to stay inside signed-long
+    range, so Spark's default ANSI mode could abort the sum with a
+    generic overflow error; refusing at the provable bound keeps every
+    failure self-describing, and every signature that IS produced is
+    exact. At 100 TB, pre-chunk such documents (or SimHash the
+    chunks); the previous unpacked form merely degraded to a
+    near-meaningless majority over such sizes anyway."""
     inv = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
@@ -310,11 +308,13 @@ def simhash_signatures(
         term = F.shiftleft(bit, j)
         sh = term if sh is None else sh.bitwiseOR(term)
     # lane-overflow guard: assert_true is free on the sane path and
-    # fails loudly (not wrongly) on a >65535-token document
+    # fails loudly (not wrongly) on an oversized document (see the
+    # overflow-bound note above for why the bound is 2^15)
     guard = F.assert_true(
-        F.col("_n") < F.lit(65536),
-        F.lit("simhash_signatures: document exceeds 65535 tokens — "
-              "packed 16-bit vote lanes would overflow; chunk the text"),
+        F.col("_n") < F.lit(32768),
+        F.lit("simhash_signatures: document exceeds 32767 tokens — "
+              "packed vote-lane accumulation could overflow; chunk the "
+              "text before SimHashing"),
     )
     return grouped.select(
         F.col(id_col), F.when(guard.isNull(), sh).alias("simhash")

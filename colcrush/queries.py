@@ -58,7 +58,10 @@ def _scan_parallelism(path: str) -> int:
         for f in files[:64]:
             try:
                 n += pq.ParquetFile(f).metadata.num_row_groups
-            except OSError:
+            except (OSError, ValueError):
+                # unreadable/corrupt footer (pyarrow's ArrowInvalid is a
+                # ValueError): count it as one unit of parallelism and
+                # let Spark's own reader surface any real error
                 n += 1
         n = max(n, len(files))
         _SCAN_ROW_GROUPS[path] = max(1, n)

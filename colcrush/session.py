@@ -51,7 +51,10 @@ def get_spark(
     # RAM-backed dir above is in use. A cluster deployment configures
     # executors via spark-submit, not this local-mode factory, and
     # keeps Spark's default (on): there shuffle bytes cross real disks
-    # and NICs, where compression earns its CPU.
+    # and NICs, where compression earns its CPU. On hosts with a SMALL
+    # /dev/shm (e.g. a container's default 64 MB) uncompressed shuffle
+    # files fill the tmpfs sooner — set COLCRUSH_SHUFFLE_COMPRESS=1 (or
+    # point spark.local.dir elsewhere) as the escape hatch.
     comp_env = os.environ.get("COLCRUSH_SHUFFLE_COMPRESS", "auto")
     comp_on = (not shm) if comp_env == "auto" else comp_env == "1"
     b = b.config("spark.shuffle.compress", str(comp_on).lower()).config(
